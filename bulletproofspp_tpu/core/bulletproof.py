@@ -1,0 +1,107 @@
+"""Generic bulletproof round engine: prover loop and one-MSM verifier.
+
+(reference: src/Bulletproof.hs:322-379)
+
+The prover performs ``rounds`` iterations of: compute cross-term scalars
+and commitment frames, commit L and R (two MSMs), draw the challenge from
+the transcript, fold the scalar, and collapse the witness/basis
+(reference: proveRoundM, Bulletproof.hs:346-355).
+
+The verifier replays the challenges from the L/R responses, tensor-expands
+them over the original basis, and performs ONE zero-check MSM combining
+the expanded exponents, the public constants, the opening of the initial
+commitment, and the challenge-weighted responses
+(reference: verifyBPM, Bulletproof.hs:362-379).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .fields import Fr
+from .norm_linear import NormLinearNL, expand_challenges_nl
+from .inner_product import NormLinearIP, expand_norm_ip, expand_linear_ip
+
+
+@dataclass
+class BPSetup:
+    """Everything the round engine needs (SetupBP analog,
+    reference: Bulletproof.hs:326)."""
+
+    arg_cls: type  # NormLinearNL | NormLinearIP
+    scalar_base: object  # g: base of the tracked scalar (PSV scalar base)
+    q: Fr  # argument weight parameter
+    bp_coeffs: list  # public linear coefficients
+    pub_scalar: Fr  # public scalar component (verifier-side anchor)
+    pub_nrm: list  # public norm constants
+    pub_lin: list  # public linear constants (usually empty)
+    nrm_bases: list
+    lin_bases: list
+    rounds: int
+    init_pairs: list = field(default_factory=list)  # opening of the initial commitment
+
+
+@dataclass
+class BPProof:
+    responses: list  # [(L, R)] in EXECUTION order (round 1 first)
+    wit_scalars: list  # transmitted final opening: norm scalars ++ linear scalars
+
+
+def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BPProof:
+    arg = setup.arg_cls.make(
+        setup.q, setup.bp_coeffs, wit_nrm, setup.nrm_bases, wit_lin, setup.lin_bases, engine
+    )
+    sc = wit_scalar
+    responses = []
+    for _ in range(setup.rounds):
+        s_l, l_pairs, s_r, r_pairs = arg.make_scalars_coms()
+        ac = engine.msm([(s_l, setup.scalar_base)] + l_pairs)
+        bc = engine.msm([(s_r, setup.scalar_base)] + r_pairs)
+        e = Fr(tr.oracle([ac, bc], 1)[0])
+        e0, e1 = setup.arg_cls.make_es(e)
+        sc = sc + e0 * s_l + e1 * s_r
+        arg = arg.collapse(e, engine)
+        responses.append((ac, bc))
+    return BPProof(responses, arg.get_witness())
+
+
+def verify_bp(tr, engine, setup: BPSetup, proof: BPProof) -> bool:
+    # replay challenges in execution order
+    es = [Fr(tr.oracle([ac, bc], 1)[0]) for ac, bc in proof.responses]
+
+    n_nrm, n_lin = setup.arg_cls.optimal_witness_size(len(setup.nrm_bases), len(setup.lin_bases))[1]
+    wit = [Fr(int(s)) for s in proof.wit_scalars]
+    if len(wit) != n_nrm + n_lin:
+        return False
+    wit_nrm, wit_lin = wit[:n_nrm], wit[n_nrm:]
+
+    pairs = list(setup.init_pairs)
+    if setup.arg_cls is NormLinearNL:
+        sc, coeff_n, coeff_l = expand_challenges_nl(
+            es,
+            wit_nrm,
+            wit_lin,
+            setup.q,
+            setup.bp_coeffs,
+            setup.pub_nrm,
+            setup.pub_lin,
+            len(setup.nrm_bases),
+            len(setup.lin_bases),
+        )
+        pairs += list(zip(coeff_n, setup.nrm_bases))
+        pairs += list(zip(coeff_l, setup.lin_bases))
+    else:
+        sc_n, pairs_n = expand_norm_ip(es, wit_nrm, setup.q, setup.pub_nrm, setup.nrm_bases)
+        sc_l, coeff_l = expand_linear_ip(
+            es, wit_lin, setup.bp_coeffs, setup.pub_lin, len(setup.lin_bases)
+        )
+        sc = sc_n + sc_l
+        pairs += pairs_n
+        pairs += list(zip(coeff_l, setup.lin_bases))
+
+    pairs.append((setup.pub_scalar - sc, setup.scalar_base))
+    for e, (ac, bc) in zip(es, proof.responses):
+        e0, e1 = setup.arg_cls.make_es(e)
+        pairs.append((e0, ac))
+        pairs.append((e1, bc))
+    return engine.msm(pairs) is None
