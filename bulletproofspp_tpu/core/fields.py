@@ -28,8 +28,8 @@ class Fp:
     __slots__ = ("v",)
     P: int = 0
 
-    def __init__(self, v: int):
-        self.v = v % self.P
+    def __init__(self, v):
+        self.v = (v.v if isinstance(v, Fp) else v) % self.P
 
     # -- ring ops ----------------------------------------------------------
     def __add__(self, o):

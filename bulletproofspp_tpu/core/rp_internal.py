@@ -77,6 +77,15 @@ def counts(xs, ys):
     return [m.get(x, 0) for x in xs]
 
 
+def sums_rows(rows):
+    """Elementwise sum of equal-length rows (reference: src/Utils.hs:227-228)."""
+    out = list(rows[0])
+    for r in rows[1:]:
+        for i, x in enumerate(r):
+            out[i] = out[i] + x
+    return out
+
+
 def sum_diagonals(xss):
     """Anti-diagonal sums of a ragged table (reference: Internal.hs:107-113)."""
     m = {}
