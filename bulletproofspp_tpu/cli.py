@@ -1,0 +1,137 @@
+"""Command-line interface: prove / verify / test (reference: app/Main.hs).
+
+Usage:
+  python -m bulletproofspp_tpu.cli prove  [spec-file] [witness-file] [commits-file] [proof-file]
+  python -m bulletproofspp_tpu.cli verify [spec-file] [commits-file] [proof-file]
+  python -m bulletproofspp_tpu.cli test   [spec-file] [witness-file] [commits-file] [proof-file]
+
+Defaults mirror the reference: schema.json witness.json commits.bin proof.bin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .core import range_proof as rpm
+from .core.engine import default_engine
+from .core.transcript import take_points, default_blinds, encode_scalar, decode_scalar
+from .core.fields import Q
+from .io_ import schema as schema_mod
+
+
+def load_points(spec, count: int):
+    if spec.basis_seed is not None:
+        return take_points(spec.basis_seed.encode(), count)
+    return read_points_file(spec.basis_file)[:count]
+
+
+def write_points_file(path: str, points):
+    """Data.Binary [WideEncoding]: 8-byte big-endian length, then x||y per
+    point (reference: app/Main.hs:91-98, 261-263)."""
+    with open(path, "wb") as f:
+        f.write(len(points).to_bytes(8, "big"))
+        for x, y in points:
+            f.write(encode_scalar(x))
+            f.write(encode_scalar(y))
+
+
+def read_points_file(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    n = int.from_bytes(data[:8], "big")
+    pts = []
+    off = 8
+    for _ in range(n):
+        x = decode_scalar(data[off : off + 32], Q)
+        y = decode_scalar(data[off + 32 : off + 64], Q)
+        pts.append((x, y))
+        off += 64
+    return pts
+
+
+def _resolve_values(spec, witness_objs):
+    """Pair witness amounts with positional default blinds
+    (reference: app/Main.hs:272-277)."""
+    rn = spec.random_seed.encode()
+    gen = default_blinds(rn)
+    out = []
+    for w in witness_objs:
+        bl = next(gen)  # positional: consumed even when an explicit blind exists
+        bl = w.blind if w.blind is not None else bl
+        if spec.is_binary:
+            out.append((w.amount, bl))
+        else:
+            out.append(((w.amount, w.kind), bl))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bulletproofspp-tpu", description="Prove and Verify Bulletproof++ Zero Knowledge Proofs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, with_wit in [("prove", True), ("verify", False), ("test", True)]:
+        p = sub.add_parser(name)
+        p.add_argument("spec", nargs="?", default="schema.json")
+        if with_wit:
+            p.add_argument("witness", nargs="?", default="witness.json")
+        p.add_argument("coms", nargs="?", default="commits.bin")
+        p.add_argument("proof", nargs="?", default="proof.bin")
+        p.add_argument("--verbosity", type=int, default=0)
+        p.add_argument("--write-points", type=int, default=0)
+        p.add_argument("--engine", choices=["host", "jax"], default=None)
+    args = ap.parse_args(argv)
+
+    with open(args.spec) as f:
+        spec = schema_mod.parse_spec(json.load(f))
+    if args.engine:
+        import os
+
+        os.environ["BPPP_ENGINE"] = args.engine
+    engine = default_engine()
+
+    points = load_points(spec, schema_mod.points_needed(spec))
+    if args.write_points and spec.basis_seed is not None:
+        write_points_file("points.bin", points[: args.write_points])
+    setup = schema_mod.build_setup(spec, points)
+
+    to_prove = args.cmd in ("prove", "test")
+    to_verify = args.cmd in ("verify", "test")
+    rc = 0
+
+    if to_prove:
+        with open(args.witness) as f:
+            wobjs = schema_mod.parse_witness(json.load(f))
+        if len(wobjs) != len(spec.ranges):
+            print("Different number of values and ranges", file=sys.stderr)
+            return 2
+        values = _resolve_values(spec, wobjs)
+        proof = rpm.prove(setup, values, spec.random_seed.encode(), engine)
+        if to_verify:
+            ok = rpm.verify(setup, proof, engine)
+            print(f"In-process verify: {ok}")
+            rc |= 0 if ok else 1
+        coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)
+        with open(args.coms, "wb") as f:
+            f.write(coms_bytes)
+        with open(args.proof, "wb") as f:
+            f.write(proof_bytes)
+        print(f"Wrote {args.proof} ({len(proof_bytes)} bytes), {args.coms} ({len(coms_bytes)} bytes)")
+
+    if to_verify:
+        with open(args.coms, "rb") as f:
+            coms_bytes = f.read()
+        with open(args.proof, "rb") as f:
+            proof_bytes = f.read()
+        dec = rpm.decode_proof(setup, coms_bytes, proof_bytes)
+        if dec is None:
+            print("invalid proof file", file=sys.stderr)
+            return 2
+        ok = rpm.verify(setup, dec, engine)
+        print(f"Proof from file: {ok}")
+        rc |= 0 if ok else 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,7 @@
+import os
+
+# Multi-device CPU simulation for sharding tests; real TPU runs use bench.py.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,153 @@
+"""End-to-end prove/verify over the reference's example configurations
+(reference: examples/*/schema.json, exercised via CLI `test` mode,
+reference: app/Main.hs:150-152)."""
+
+import json
+
+import pytest
+
+from bulletproofspp_tpu.core import range_proof as rpm
+from bulletproofspp_tpu.core.engine import HostEngine
+from bulletproofspp_tpu.core.transcript import take_points
+from bulletproofspp_tpu.io_ import schema as schema_mod
+from bulletproofspp_tpu.cli import _resolve_values
+
+ENGINE = HostEngine()
+
+EX_32BIT = {
+    "basisSeed": "test points",
+    "ranges": [{"base": 9, "min": 0, "max": 4294967296, "isOutput": True}],
+}
+WIT_32BIT = [{"amount": 10000}]
+
+EX_64BIT = {
+    "basisSeed": "test points",
+    "argument": "IP",
+    "ranges": [{"base": 16, "min": 0, "max": 18446744073709551616, "isOutput": True}],
+}
+WIT_64BIT = [{"amount": 1000000000}]
+
+EX_BIN = {
+    "binary": True,
+    "conserved": True,
+    "basisSeed": "test points",
+    "argument": "NL",
+    "ranges": [
+        {"min": 3, "max": 18446744073709551616, "isOutput": True},
+        {"count": 2, "min": 2, "max": 18446744073709551616, "isOutput": False, "isAssumed": True},
+    ],
+    "public": [{"amount": 2, "isOutput": False}],
+}
+WIT_BIN = [{"amount": 124}, {"amount": 1}, {"amount": 121}]
+
+EX_REC = {
+    "typed": True,
+    "basisSeed": "test points",
+    "ranges": [
+        {"base": 3, "min": 0, "max": 18446744073709551616, "isShared": True, "isOutput": True},
+        {"base": 16, "min": -20, "max": 73786976294838206463, "isShared": True, "isOutput": False},
+        {"base": 5, "min": 1, "max": 625, "isShared": False, "isAssumed": True, "isOutput": False},
+    ],
+    "public": [{"amount": 1, "type": 15, "isOutput": False}],
+}
+WIT_REC = [{"amount": 124, "type": 15}, {"amount": 1, "type": 15}, {"amount": 122, "type": 15}]
+
+
+def agg_example(count, base):
+    return (
+        {
+            "basisSeed": "test points",
+            "argument": "NL",
+            "ranges": [
+                {
+                    "count": count,
+                    "base": base,
+                    "min": 0,
+                    "max": 18446744073709551616,
+                    "isOutput": True,
+                    "isShared": True,
+                }
+            ],
+        },
+        [{"amount": 10000}] * count,
+    )
+
+
+def run_example(spec_obj, wit_obj, expect_bytes=None):
+    spec = schema_mod.parse_spec(spec_obj)
+    points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    values = _resolve_values(spec, schema_mod.parse_witness(wit_obj))
+    proof = rpm.prove(setup, values, spec.random_seed.encode(), ENGINE)
+    assert rpm.verify(setup, proof, ENGINE)
+    coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)
+    if expect_bytes is not None:
+        assert len(proof_bytes) == expect_bytes
+    dec = rpm.decode_proof(setup, coms_bytes, proof_bytes)
+    assert dec is not None
+    assert rpm.verify(setup, dec, ENGINE)
+    # tampered proof must fail
+    bad_scalars = [dec.bp.wit_scalars[0] + 1] + dec.bp.wit_scalars[1:]
+    from bulletproofspp_tpu.core.bulletproof import BPProof
+    from bulletproofspp_tpu.core.range_proof import RangeProof
+
+    bad = RangeProof(dec.rp_coms, dec.input_coms, BPProof(dec.bp.responses, bad_scalars))
+    assert not rpm.verify(setup, bad, ENGINE)
+    return setup, proof, proof_bytes
+
+
+def test_32bit():
+    run_example(EX_32BIT, WIT_32BIT)
+
+
+def test_64bit_headline_size():
+    # 3 scalars + 10 points + 2 sign bytes = 418 (the paper's 416 counts 13x32)
+    run_example(EX_64BIT, WIT_64BIT, expect_bytes=418)
+
+
+def test_bin_test():
+    run_example(EX_BIN, WIT_BIN)
+
+
+def test_bin_test_ip_variant():
+    obj = dict(EX_BIN)
+    obj["argument"] = "IP"
+    run_example(obj, WIT_BIN)
+
+
+def test_rec_test():
+    run_example(EX_REC, WIT_REC)
+
+
+def test_rec_test_nl_variant():
+    obj = dict(EX_REC)
+    obj["argument"] = "NL"
+    run_example(obj, WIT_REC)
+
+
+def test_32by64_aggregated():
+    spec, wit = agg_example(32, 64)
+    run_example(spec, wit)
+
+
+@pytest.mark.slow
+def test_64by64_aggregated():
+    spec, wit = agg_example(64, 256)
+    run_example(spec, wit)
+
+
+def test_conservation_violation_rejected():
+    spec = schema_mod.parse_spec(EX_REC)
+    points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    bad_wit = [{"amount": 124, "type": 15}, {"amount": 2, "type": 15}, {"amount": 122, "type": 15}]
+    values = _resolve_values(spec, schema_mod.parse_witness(bad_wit))
+    assert setup.witness(values) is None
+
+
+def test_out_of_range_rejected():
+    spec = schema_mod.parse_spec(EX_32BIT)
+    points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    values = _resolve_values(spec, schema_mod.parse_witness([{"amount": 2**33}]))
+    assert setup.witness(values) is None
