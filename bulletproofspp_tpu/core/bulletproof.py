@@ -66,13 +66,25 @@ def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BP
 
 
 def verify_bp(tr, engine, setup: BPSetup, proof: BPProof) -> bool:
+    pairs = verify_bp_pairs(tr, setup, proof)
+    if pairs is None:
+        return False
+    return engine.msm(pairs) is None
+
+
+def verify_bp_pairs(tr, setup: BPSetup, proof: BPProof):
+    """The verifier's zero-check MSM as (scalar, point) pairs, or None on a
+    malformed proof.  Exposed separately so batch verification can combine
+    many proofs into ONE random-linear-combination MSM (the feature the
+    reference lists as TODO, reference: src/RangeProof.hs:103-106,
+    README.md:186)."""
     # replay challenges in execution order
     es = [Fr(tr.oracle([ac, bc], 1)[0]) for ac, bc in proof.responses]
 
     n_nrm, n_lin = setup.arg_cls.optimal_witness_size(len(setup.nrm_bases), len(setup.lin_bases))[1]
     wit = [Fr(int(s)) for s in proof.wit_scalars]
     if len(wit) != n_nrm + n_lin:
-        return False
+        return None
     wit_nrm, wit_lin = wit[:n_nrm], wit[n_nrm:]
 
     pairs = list(setup.init_pairs)
@@ -104,4 +116,4 @@ def verify_bp(tr, engine, setup: BPSetup, proof: BPProof) -> bool:
         e0, e1 = setup.arg_cls.make_es(e)
         pairs.append((e0, ac))
         pairs.append((e1, bc))
-    return engine.msm(pairs) is None
+    return pairs

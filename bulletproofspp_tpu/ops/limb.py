@@ -136,14 +136,25 @@ def _fold_full(x, n_folds: int):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def add(a, b):
     """a + b mod p; carried-limb in, carried-limb out (< 2^256)."""
     return _fold_full(_carry(a + b), 3)
 
 
-_K2 = None  # lazy: limbs of 2p - 2^256 + 1 (so that a + ~b + K2 == a - b + 2p)
+# limbs of 2p - 2^256 + 1 (so that a + ~b + K2 == a - b + 2p); kept as
+# numpy so jit traces lift it as a constant without leaking tracers
+_K2 = None
 
 
+def _k2():
+    global _K2
+    if _K2 is None:
+        _K2 = pack_int(2 * Q - (1 << 256) + 1)
+    return _K2
+
+
+@jax.jit
 def sub(a, b):
     """a - b mod p, computed as the always-nonnegative a + (~b) + K2 where
     ~b is the borrow-free limbwise complement (0xffff - b) and
@@ -152,9 +163,7 @@ def sub(a, b):
     (the reference reduces on borrow by the sparse offset the same way,
     reference: Internal.hs subField#)
     """
-    global _K2
-    if _K2 is None:
-        _K2 = jnp.asarray(pack_int(2 * Q - (1 << 256) + 1), U32)
+    _K2 = jnp.asarray(_k2(), U32)
     w = _u(MASK) - b  # exact: b limbs < 2^16
     k2 = _K2.reshape(NLIMB, *([1] * (a.ndim - 1)))
     t = _carry(a + w + k2)  # value a - b + 2p < 3*2^256: top limb <= 2
@@ -165,6 +174,7 @@ def neg(a):
     return sub(zeros(a.shape[1:]), a)
 
 
+@jax.jit
 def mul(a, b):
     """a * b mod p.  Schoolbook 16x16 outer product, lo/hi split before
     column accumulation, shear-trick antidiagonal sums, scan carries, and
@@ -196,12 +206,17 @@ def sqr(a):
     return mul(a, a)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
 def mul_small(a, k: int):
     """a * k mod p for a small host constant 0 <= k < 2^15."""
     t = _carry(a * _u(k))
     return _fold_full(t, 3)
 
 
+@jax.jit
 def normalize(a):
     """Canonical representative < p (conditional subtract of p).
 
@@ -223,12 +238,14 @@ def normalize(a):
     return jnp.where(borrow[None] == 0, outs, a)
 
 
+@jax.jit
 def is_zero(a):
     """Boolean mask over the batch axes: a ≡ 0 mod p."""
     n = normalize(a)
     return jnp.all(n == 0, axis=0)
 
 
+@jax.jit
 def eq(a, b):
     return is_zero(sub(a, b))
 
@@ -247,6 +264,7 @@ _INV_EXP_BITS = np.array(
 )
 
 
+@jax.jit
 def inv(a):
     """Fermat inverse a^(p-2); 0 -> 0.  (The reference calls GMP's
     recipModBigNat, reference: Internal.hs:977-983; on TPU a fixed
@@ -262,6 +280,7 @@ def inv(a):
     return r
 
 
+@partial(jax.jit, static_argnums=1)
 def batch_inv(a, axis=1):
     """Montgomery batch inversion along a batch axis with ONE Fermat inverse.
 

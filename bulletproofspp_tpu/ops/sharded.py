@@ -1,0 +1,102 @@
+"""Multi-chip sharded MSM over a jax.sharding.Mesh.
+
+The reference is a single OS process; its only distribution hooks are the
+multiparty dealer stubs that sum per-party commitment vectors
+(reference: src/ZKP.hs:114-131).  The TPU framework makes the MSM itself
+the distributed object (SURVEY §2 parallelism mapping):
+
+  * mesh axis ``pts``  — data parallelism over MSM lanes (the DP analog):
+    each device builds tables and accumulates digit rows for its slice of
+    the points;
+  * mesh axis ``win``  — parallelism over digit-row windows (the TP
+    analog): each device processes a contiguous block of signed-digit rows
+    and the partial results are Horner-combined with the appropriate
+    doubling shifts.
+
+Partial results are exchanged with ``lax.all_gather`` over ICI and reduced
+with complete point additions on every device (point addition is a group
+op, not a ring sum, so ``psum`` does not apply — the gather+fold IS the
+collective).  The result is replicated.
+
+Used by batch verification (core.batch) and the driver's multi-chip dry
+run (__graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from . import curve, limb
+from .msm import msm_kernel
+
+
+def make_mesh(devices=None, win: int = 1):
+    """1- or 2-axis mesh ('win', 'pts') over the given devices."""
+    import numpy as np
+
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    assert n % win == 0
+    arr = np.asarray(devices).reshape(win, n // win)
+    return Mesh(arr, ("win", "pts"))
+
+
+def pad_rows(absd, sgn, win: int):
+    """Pad digit rows on the most-significant side (zero digits are
+    no-ops) so the row count divides the window axis."""
+    rows = absd.shape[0]
+    target = -(-rows // win) * win
+    pad = target - rows
+    if pad:
+        z = jnp.zeros((pad, absd.shape[1]), absd.dtype)
+        absd = jnp.concatenate([z, absd], axis=0)
+        sgn = jnp.concatenate([z, sgn], axis=0)
+    return absd, sgn
+
+
+def sharded_msm(mesh: Mesh, px, py, absd, sgn):
+    """MSM sharded over ('win', 'pts'); returns replicated projective
+    (16, 1) coordinate planes.
+
+    Lane count must divide the 'pts' axis with a power-of-two quotient;
+    row count must divide the 'win' axis (see pad_rows).
+    """
+    nwin = mesh.shape["win"]
+    npts = mesh.shape["pts"]
+    rows_local = absd.shape[0] // nwin
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "pts"), P(None, "pts"), P("win", "pts"), P("win", "pts")),
+        out_specs=(P(), P(), P()),
+    )
+    def step(pxl, pyl, absdl, sgnl):
+        part = msm_kernel(pxl, pyl, absdl, sgnl)  # local rows x local lanes
+
+        # combine over point shards: gather + fold (group op, not psum)
+        gath = tuple(lax.all_gather(c, "pts") for c in part)  # (npts, 16, 1)
+        acc = tuple(g[0] for g in gath)
+        for i in range(1, npts):
+            acc = curve.padd(acc, tuple(g[i] for g in gath))
+
+        # combine over window shards: Horner with 4*rows_local doublings
+        gw = tuple(lax.all_gather(c, "win") for c in acc)  # (nwin, 16, 1)
+        tot = tuple(g[0] for g in gw)
+        for w in range(1, nwin):
+            for _ in range(4 * rows_local):
+                tot = curve.pdbl(tot)
+            tot = curve.padd(tot, tuple(g[w] for g in gw))
+        return tot
+
+    return step(px, py, absd, sgn)
+
+
+def sharded_msm_jit(mesh: Mesh):
+    return jax.jit(partial(sharded_msm, mesh))
