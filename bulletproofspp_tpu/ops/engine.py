@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..core import ec
 from ..core.engine import HostEngine
 from ..core.fields import Q, R
+from .. import metrics
 from . import curve, glv, limb, msm
 
 
@@ -33,6 +34,28 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 def _endo_host(pt):
     return (ec.BETA * pt[0] % Q, pt[1])
+
+
+def _msm_lanes(flt):
+    """(scalar, point) pairs -> GLV-split digit arrays (ROWS, 2n) plus the
+    interleaved [P_i, phi(P_i)] lane point list.  Uses the native scalar
+    pipeline (bulletproofspp_tpu.native) when available."""
+    from .. import native
+
+    lanes_pts = []
+    for _, p in flt:
+        lanes_pts.append(p)
+        lanes_pts.append(_endo_host(p))
+    nat = native.glv_recode_batch([s for s, _ in flt])
+    if nat is not None:
+        absd, sgn = nat
+    else:
+        halves = []
+        for s, _ in flt:
+            k1, k2 = glv.split(s)
+            halves += [k1, k2]
+        absd, sgn = glv.recode_batch(halves)
+    return absd, sgn, lanes_pts
 
 
 class JaxEngine:
@@ -54,18 +77,15 @@ class JaxEngine:
             return None
         if 2 * len(flt) < self.host_below:
             return self._host.msm(flt)
-        scalars, points, lanes_pts = [], [], []
-        for s, p in flt:
-            k1, k2 = glv.split(s)
-            scalars.append(k1)
-            lanes_pts.append(p)
-            scalars.append(k2)
-            lanes_pts.append(_endo_host(p))
-        L = _bucket(len(scalars))
-        pad = L - len(scalars)
-        scalars += [0] * pad
-        lanes_pts += [ec.G] * pad  # digit 0 selects the identity: no effect
-        absd, sgn = glv.recode_batch(scalars)
+        metrics.count("engine.msm.lanes", 2 * len(flt))
+        absd, sgn, lanes_pts = _msm_lanes(flt)
+        L = _bucket(absd.shape[1])
+        pad = L - absd.shape[1]
+        if pad:
+            z = np.zeros((glv.ROWS, pad), np.uint32)
+            absd = np.concatenate([absd, z], axis=1)  # digit 0 = identity
+            sgn = np.concatenate([sgn, z], axis=1)
+            lanes_pts = lanes_pts + [ec.G] * pad
         px = jnp.asarray(limb.pack_ints([p[0] for p in lanes_pts]))
         py = jnp.asarray(limb.pack_ints([p[1] for p in lanes_pts]))
         acc = msm.run_msm(px, py, jnp.asarray(absd), jnp.asarray(sgn))
@@ -136,18 +156,16 @@ class ShardedJaxEngine(JaxEngine):
             return super().msm(flt)
         from . import sharded
 
-        scalars, lanes_pts = [], []
-        for s, p in flt:
-            k1, k2 = glv.split(s)
-            scalars += [k1, k2]
-            lanes_pts += [p, _endo_host(p)]
+        absd, sgn, lanes_pts = _msm_lanes(flt)
         # lane count: multiple of npts with a power-of-two per-shard width
         # (npts is asserted to be a power of two in make_mesh usage)
-        L = max(_bucket(len(scalars)), self._npts * 16)
-        pad = L - len(scalars)
-        scalars += [0] * pad
-        lanes_pts += [ec.G] * pad
-        absd, sgn = glv.recode_batch(scalars)
+        L = max(_bucket(absd.shape[1]), self._npts * 16)
+        pad = L - absd.shape[1]
+        if pad:
+            z = np.zeros((glv.ROWS, pad), np.uint32)
+            absd = np.concatenate([absd, z], axis=1)
+            sgn = np.concatenate([sgn, z], axis=1)
+            lanes_pts = lanes_pts + [ec.G] * pad
         absd, sgn = sharded.pad_rows(jnp.asarray(absd), jnp.asarray(sgn), self._nwin)
         px = jnp.asarray(limb.pack_ints([p[0] for p in lanes_pts]))
         py = jnp.asarray(limb.pack_ints([p[1] for p in lanes_pts]))

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import limb, curve
@@ -40,20 +41,49 @@ U32 = jnp.uint32
 
 def _table(px, py):
     """Affine lanes (16, L) -> multiple tables (16, 9, L) for 0P..8P,
-    plus the Y table extended with negated entries: (16, 18, L)."""
+    plus the Y table extended with negated entries: (16, 18, L).
+
+    The 7 chained additions run under ``lax.scan`` so the complete-add
+    body lowers ONCE (compile time on the XLA CPU backend scales with the
+    number of inlined point ops, so every repeated op here is a scan)."""
     one = limb.ones(px.shape[1:])
     zero = limb.zeros(px.shape[1:])
     base = (px, py, one)
-    entries = [(zero, one, zero), base]
-    acc = base
-    for _ in range(7):
-        acc = curve.padd(acc, base)
-        entries.append(acc)
-    tx = jnp.stack([e[0] for e in entries], axis=1)  # (16, 9, L)
-    ty = jnp.stack([e[1] for e in entries], axis=1)
-    tz = jnp.stack([e[2] for e in entries], axis=1)
+    ident = (zero, one, zero)
+
+    def step(acc, _):
+        nxt = curve.padd(acc, base)
+        return nxt, nxt
+
+    _, mults = lax.scan(step, base, None, length=7)  # (7, 16, L) per coord
+    tx = jnp.concatenate([jnp.stack([ident[0], base[0]], 1), jnp.moveaxis(mults[0], 0, 1)], axis=1)
+    ty = jnp.concatenate([jnp.stack([ident[1], base[1]], 1), jnp.moveaxis(mults[1], 0, 1)], axis=1)
+    tz = jnp.concatenate([jnp.stack([ident[2], base[2]], 1), jnp.moveaxis(mults[2], 0, 1)], axis=1)
     ty2 = jnp.concatenate([ty, limb.sub(jnp.zeros_like(ty), ty)], axis=1)  # (16, 18, L)
     return tx, ty2, tz
+
+
+def _reduce_lanes(sel, width):
+    """Tree-reduce points over the last axis with a FIXED-width shift-add
+    scan: one complete-add lowering for all log2(width) levels.  Lane 0 of
+    the result holds the sum; lanes >= shift hold garbage that later
+    levels never read (partner index i + s' < 2s' <= s for i < s')."""
+    assert width & (width - 1) == 0, "lane count must be a power of two"
+    if width == 1:
+        return sel
+    shifts = jnp.asarray(np.array([width >> (k + 1) for k in range(width.bit_length() - 1)], np.int32))
+
+    def level(x, shift):
+        rolled = tuple(jnp.roll(t, -shift, axis=-1) for t in x)
+        return curve.padd(x, rolled), None
+
+    out, _ = lax.scan(level, sel, shifts)
+    return out
+
+
+def _dbl4(acc):
+    """Four doublings as a scan (single pdbl lowering)."""
+    return lax.scan(lambda a, _: (curve.pdbl(a), None), acc, None, length=4)[0]
 
 
 def msm_kernel(px, py, absd, sgn):
@@ -75,23 +105,17 @@ def msm_kernel(px, py, absd, sgn):
 
     # tree-reduce over lanes (the reference's per-row serial adds,
     # reference: Commitment.hs:331-335, become log2(L) batched adds)
-    sel = (selx, sely, selz)
-    width = L
-    while width > 1:
-        half = width // 2
-        lo = tuple(t[..., :half] for t in sel)
-        hi = tuple(t[..., half:width] for t in sel)
-        sel = curve.padd(lo, hi)
-        width = half
-
-    rows = tuple(jnp.moveaxis(t, 1, 0) for t in sel)  # (ROWS, 16, 1)
+    sel = _reduce_lanes((selx, sely, selz), L)
+    rows = tuple(jnp.moveaxis(t[..., :1], 1, 0) for t in sel)  # (ROWS, 16, 1)
 
     def horner(acc, row):
-        for _ in range(4):
-            acc = curve.pdbl(acc)
-        return curve.padd(acc, row), None
+        return curve.padd(_dbl4(acc), row), None
 
-    acc, _ = lax.scan(horner, curve.identity((1,)), rows)
+    # identity derived from the inputs so its sharding/varying-axes type
+    # matches the scan body output under shard_map
+    zero = jnp.zeros_like(rows[0][0])
+    init = (zero, zero.at[0].set(1), zero)
+    acc, _ = lax.scan(horner, init, rows)
     return acc
 
 
@@ -110,8 +134,7 @@ def fold_mul_kernel(pex, pey, pox, poy, de, se, do, so):
 
     def body(acc, row):
         d_e, s_e, d_o, s_o = row
-        for _ in range(4):
-            acc = curve.pdbl(acc)
+        acc = _dbl4(acc)
         pe = (
             lax.dynamic_index_in_dim(tex, d_e, axis=1, keepdims=False),
             lax.dynamic_index_in_dim(tey2, d_e + 9 * s_e, axis=1, keepdims=False),
@@ -124,9 +147,10 @@ def fold_mul_kernel(pex, pey, pox, poy, de, se, do, so):
         )
         return curve.padd(curve.padd(acc, pe), po), None
 
-    L = pex.shape[-1]
     xs = (de.astype(jnp.int32), se.astype(jnp.int32), do.astype(jnp.int32), so.astype(jnp.int32))
-    acc, _ = lax.scan(body, curve.identity((L,)), xs)
+    zero = jnp.zeros_like(pex)
+    init = (zero, zero.at[0].set(1), zero)  # input-derived: shard_map-safe
+    acc, _ = lax.scan(body, init, xs)
     return acc
 
 

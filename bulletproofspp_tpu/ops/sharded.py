@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from . import curve, limb
 from .msm import msm_kernel
@@ -76,23 +76,34 @@ def sharded_msm(mesh: Mesh, px, py, absd, sgn):
         mesh=mesh,
         in_specs=(P(None, "pts"), P(None, "pts"), P("win", "pts"), P("win", "pts")),
         out_specs=(P(), P(), P()),
+        # the gather+fold produces bit-identical values on every device;
+        # that replication is data-flow equality the static VMA checker
+        # cannot see, so the check is disabled for this kernel
+        check_vma=False,
     )
     def step(pxl, pyl, absdl, sgnl):
+        from .msm import _reduce_lanes
+
         part = msm_kernel(pxl, pyl, absdl, sgnl)  # local rows x local lanes
 
         # combine over point shards: gather + fold (group op, not psum)
-        gath = tuple(lax.all_gather(c, "pts") for c in part)  # (npts, 16, 1)
-        acc = tuple(g[0] for g in gath)
-        for i in range(1, npts):
-            acc = curve.padd(acc, tuple(g[i] for g in gath))
+        gath = tuple(
+            jnp.moveaxis(lax.all_gather(c[..., 0], "pts"), 0, -1) for c in part
+        )  # (16, npts)
+        acc = tuple(g[..., :1] for g in _reduce_lanes(gath, npts))
 
         # combine over window shards: Horner with 4*rows_local doublings
         gw = tuple(lax.all_gather(c, "win") for c in acc)  # (nwin, 16, 1)
+
+        def horner(tot, w):
+            tot = lax.scan(
+                lambda a, _: (curve.pdbl(a), None), tot, None, length=4 * rows_local
+            )[0]
+            return curve.padd(tot, tuple(g[w] for g in gw)), None
+
         tot = tuple(g[0] for g in gw)
-        for w in range(1, nwin):
-            for _ in range(4 * rows_local):
-                tot = curve.pdbl(tot)
-            tot = curve.padd(tot, tuple(g[w] for g in gw))
+        if nwin > 1:
+            tot, _ = lax.scan(horner, tot, jnp.arange(1, nwin))
         return tot
 
     return step(px, py, absd, sgn)

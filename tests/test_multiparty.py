@@ -1,0 +1,46 @@
+"""Dealer/client multiparty combinators (reference: src/ZKP.hs:106-131):
+in-process transport, group-sum aggregation, broadcast challenges, and
+summed final openings — multi-node semantics without a cluster."""
+
+import threading
+
+from bulletproofspp_tpu.core import ec
+from bulletproofspp_tpu.core.fields import R
+from bulletproofspp_tpu.core.multiparty import ClientOracle, LocalChannel, run_dealer
+from bulletproofspp_tpu.core.transcript import Transcript
+
+
+def test_dealer_aggregates_and_broadcasts():
+    nparties = 3
+    chans = [LocalChannel() for _ in range(nparties)]
+    # party i commits share s_i * G; dealer must see (sum s_i) * G
+    shares = [[7, 11], [13, 17], [19, 23]]
+
+    def party(i):
+        oracle = ClientOracle(chans[i])
+        pts = [ec.scalar_mul(s, ec.G) for s in shares[i]]
+        challenge = oracle.oracle(pts, 1)
+        # every party must receive the same challenge
+        results[i] = challenge
+        oracle.done([s * challenge[0] % R for s in shares[i]])
+
+    results = [None] * nparties
+    threads = [threading.Thread(target=party, args=(i,)) for i in range(nparties)]
+    for t in threads:
+        t.start()
+
+    tr = Transcript(None)
+    summed, rounds = run_dealer(chans, tr)
+    for t in threads:
+        t.join()
+
+    assert results[0] == results[1] == results[2]
+    # aggregate commitments are the group sums of the shares
+    tot = [sum(col) for col in zip(*shares)]
+    assert rounds[0] == [ec.scalar_mul(t, ec.G) for t in tot]
+    # dealer-side transcript equals a single-prover transcript on the sums
+    tr2 = Transcript(None)
+    assert results[0] == tr2.oracle(rounds[0], 1)
+    # final openings combine additively
+    e = results[0][0]
+    assert summed == [t * e % R for t in tot]

@@ -1,0 +1,65 @@
+"""Native (C++) scalar pipeline vs the pure-Python ground truth.
+
+The native library and ops.glv may pick different (equally valid) GLV
+decompositions; what must hold exactly is the reconstruction identity
+digits -> k1 + k2*lambda ≡ k (mod r) and the digit-range contract."""
+
+import random
+
+import pytest
+
+from bulletproofspp_tpu import native
+from bulletproofspp_tpu.core.ec import LAMBDA
+from bulletproofspp_tpu.core.fields import R
+from bulletproofspp_tpu.ops import glv
+
+rng = random.Random(77)
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+
+
+def _reconstruct(absd, sgn, col):
+    v = 0
+    for j in range(native.ROWS):
+        d = int(absd[j, col]) * (-1 if sgn[j, col] else 1)
+        v = v * 16 + d
+    return v
+
+
+def test_native_glv_recode_reconstructs():
+    scalars = [0, 1, R - 1, LAMBDA, rng.randrange(R)] + [rng.randrange(R) for _ in range(40)]
+    absd, sgn = native.glv_recode_batch(scalars)
+    assert absd.shape == (native.ROWS, 2 * len(scalars))
+    assert int(absd.max()) <= 8
+    for i, k in enumerate(scalars):
+        k1 = _reconstruct(absd, sgn, 2 * i)
+        k2 = _reconstruct(absd, sgn, 2 * i + 1)
+        assert (k1 + k2 * LAMBDA - k) % R == 0, (i, k)
+        assert abs(k1) < 1 << 132 and abs(k2) < 1 << 132
+
+
+def test_native_recode_signed_matches_python():
+    import numpy as np
+
+    for v in [0, 1, -1, 8, -8, 2**129 - 1, -(2**129), rng.randrange(1 << 130)]:
+        got = native.recode_signed(v)
+        assert got is not None
+        want = glv.recode_signed(v)
+        assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1]), v
+
+
+def test_engine_uses_native_and_matches_host():
+    """End parity: JaxEngine msm (native digits) == host engine msm."""
+    from bulletproofspp_tpu.core import ec
+    from bulletproofspp_tpu.core.engine import HostEngine
+    from bulletproofspp_tpu.ops.engine import JaxEngine
+
+    pts, p = [], ec.G
+    for _ in range(6):
+        pts.append(p)
+        p = ec.dbl(p)
+    pairs = [(rng.randrange(R), q) for q in pts]
+    pairs = [(s, q) for s, q in zip([s for s, _ in pairs], pts)]
+    want = HostEngine().msm(pairs)
+    got = JaxEngine(host_below=0).msm(pairs)
+    assert got == want
