@@ -1,82 +1,144 @@
-"""Benchmark driver: vectorized MSM throughput on the real chip.
+"""Benchmark driver (real chip): MSM throughput + optional proof benches.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout:
+  {"metric", "value", "unit", "vs_baseline"}
 
-The reference publishes no timing numbers (BASELINE.md: "published: {}");
-its analytic cost model is ~100 effective point-adds per MSM point for the
-129-row GLV Straus loop (SURVEY §6).  As the executable baseline we measure
-the exact host-integer engine (core.engine.HostEngine — the reference's
-algorithm, reference: src/Commitment.hs:311-353) on a small instance and
-scale per-point; ``vs_baseline`` is the speedup of the TPU engine over
-that per-point host rate on the headline MSM size.
+The reference publishes no timing numbers (BASELINE.md "published: {}");
+as the executable baseline we measure the exact host-integer engine
+(core.engine.HostEngine — the reference's Straus/GLV algorithm,
+reference: src/Commitment.hs:311-353) on a small instance and scale
+per-point; ``vs_baseline`` is the TPU-vs-host per-point speedup.
+
+Timing is honest: distinct pre-staged inputs per iteration and a
+block_until_ready on every output (dispatch pipelining cannot hide work).
+
+BENCH_FULL=1 additionally reports prove/verify/batch-verify rates for the
+64-bit range-proof config on stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
 os.environ.setdefault("BPPP_ENGINE", "jax")
 
 
-def main():
-    import random
-
-    import jax
+def _msm_args(pts, scalars):
     import jax.numpy as jnp
 
     from bulletproofspp_tpu.core import ec
-    from bulletproofspp_tpu.core.fields import R
     from bulletproofspp_tpu.ops import glv, limb
+    from bulletproofspp_tpu.ops.engine import _msm_lanes
+
+    absd, sgn, lane_pts = _msm_lanes(list(zip(scalars, pts)))
+    px = jnp.asarray(limb.pack_ints([q[0] for q in lane_pts]))
+    py = jnp.asarray(limb.pack_ints([q[1] for q in lane_pts]))
+    return px, py, jnp.asarray(absd), jnp.asarray(sgn)
+
+
+def bench_msm(n_points: int, iters: int):
+    import jax
+
+    from bulletproofspp_tpu.core import ec
+    from bulletproofspp_tpu.core.fields import R
     from bulletproofspp_tpu.ops.msm import run_msm
 
     rng = random.Random(2024)
-    n_points = int(os.environ.get("BENCH_MSM_POINTS", "2048"))
-
-    # deterministic points: G, 2G, 4G, ...
     pts, p = [], ec.G
     for _ in range(n_points):
         pts.append(p)
         p = ec.dbl(p)
-    scalars = [rng.randrange(R) for _ in range(n_points)]
 
-    # --- host baseline (reference algorithm, exact integers) ---------------
+    # host baseline (reference algorithm, exact integers)
     base_n = min(64, n_points)
+    scalars = [rng.randrange(R) for _ in range(n_points)]
     t0 = time.perf_counter()
     ec.msm_host(scalars[:base_n], pts[:base_n])
-    host_s_per_point = (time.perf_counter() - t0) / base_n
+    host_pps = base_n / (time.perf_counter() - t0)
 
-    # --- device path --------------------------------------------------------
-    halves, lane_pts = [], []
-    for s, pt in zip(scalars, pts):
-        k1, k2 = glv.split(s)
-        halves += [k1, k2]
-        lane_pts += [pt, (ec.BETA * pt[0] % ec.P, pt[1])]
-    absd, sgn = glv.recode_batch(halves)
-    px = jnp.asarray(limb.pack_ints([q[0] for q in lane_pts]))
-    py = jnp.asarray(limb.pack_ints([q[1] for q in lane_pts]))
-    absd, sgn = jnp.asarray(absd), jnp.asarray(sgn)
-
-    # compile + warmup
-    jax.block_until_ready(run_msm(px, py, absd, sgn))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    argsets = [
+        _msm_args(pts, [rng.randrange(R) for _ in range(n_points)]) for _ in range(iters)
+    ]
+    jax.block_until_ready(argsets)
+    # warmup/compile
+    jax.block_until_ready(run_msm(*argsets[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run_msm(px, py, absd, sgn)
-    jax.block_until_ready(out)
+    outs = [run_msm(*a) for a in argsets]
+    jax.block_until_ready(outs)
     dev_s = (time.perf_counter() - t0) / iters
+    return n_points / dev_s, host_pps, dev_s
 
-    points_per_s = n_points / dev_s
-    host_points_per_s = 1.0 / host_s_per_point
+
+def bench_proofs():
+    """prove/verify/batch-verify rates for the 64-bit config (stderr)."""
+    from bulletproofspp_tpu.cli import _resolve_values
+    from bulletproofspp_tpu.core import range_proof as rpm
+    from bulletproofspp_tpu.core.batch import batch_verify
+    from bulletproofspp_tpu.core.engine import default_engine
+    from bulletproofspp_tpu.core.transcript import take_points
+    from bulletproofspp_tpu.io_ import schema as schema_mod
+
+    spec_obj = {
+        "basisSeed": "bench points",
+        "argument": "NL",
+        "ranges": [{"base": 16, "min": 0, "max": 2**64, "isOutput": True}],
+    }
+    engine = default_engine()
+    spec = schema_mod.parse_spec(spec_obj)
+    points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+
+    def mk(i):
+        values = _resolve_values(spec, schema_mod.parse_witness([{"amount": 10**9 + i}]))
+        return rpm.prove(setup, values, f"bench{i}".encode(), engine)
+
+    mk(0)  # warm all kernel shapes
+    n = int(os.environ.get("BENCH_PROOFS", "8"))
+    t0 = time.perf_counter()
+    proofs = [mk(i) for i in range(n)]
+    prove_s = (time.perf_counter() - t0) / n
+
+    rpm.verify(setup, proofs[0], engine)
+    t0 = time.perf_counter()
+    ok = all(rpm.verify(setup, pr, engine) for pr in proofs)
+    verify_s = (time.perf_counter() - t0) / n
+
+    items = [(setup, pr) for pr in proofs]
+    batch_verify(items, engine)
+    t0 = time.perf_counter()
+    okb = batch_verify(items, engine)
+    batch_s = (time.perf_counter() - t0) / n
+    print(
+        json.dumps(
+            {
+                "proves_per_s": round(1 / prove_s, 3),
+                "verifies_per_s": round(1 / verify_s, 3),
+                "batch_verifies_per_s": round(1 / batch_s, 3),
+                "all_valid": bool(ok and okb),
+                "n": n,
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def main():
+    n_points = int(os.environ.get("BENCH_MSM_POINTS", "2048"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    pps, host_pps, dev_s = bench_msm(n_points, iters)
+    if os.environ.get("BENCH_FULL"):
+        bench_proofs()
     print(
         json.dumps(
             {
                 "metric": f"msm_{n_points}pt_throughput",
-                "value": round(points_per_s, 1),
+                "value": round(pps, 1),
                 "unit": "points/s",
-                "vs_baseline": round(points_per_s / host_points_per_s, 2),
+                "vs_baseline": round(pps / host_pps, 2),
             }
         )
     )

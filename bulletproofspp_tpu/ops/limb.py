@@ -91,17 +91,47 @@ def ones(batch) -> jnp.ndarray:
 
 
 def _carry(x):
-    """Propagate carries over the leading limb axis.
+    """Exact carry propagation over the leading limb axis — Kogge-Stone
+    parallel prefix, NO sequential scan (a ripple scan serializes ~K tiny
+    steps per call and dominates MSM latency; the prefix form is log2(K)
+    full-width vector ops).
 
-    x: (K, ...) uint32, each entry < 2^31.  Returns (K+1, ...) limbs < 2^16.
+    x: (K, ...) uint32 (any magnitude).  Returns (K+1, ...) limbs < 2^16
+    with the same total value.
+
+    Steps: (1) split each entry into digit+multi-bit carry and shift the
+    carries up one limb — entries drop below 2^17; (2) split again —
+    residual carries are single-bit; (3) resolve the single-bit ripple
+    with a generate/propagate parallel prefix ((g,p) composition is
+    associative), then add the incoming carries.
     """
+    K = x.shape[0]
 
-    def step(c, xk):
-        t = xk + c
-        return t >> LBITS, t & MASK
+    def shift_up(h):
+        # h_k -> position k+1, extending by one limb
+        z = jnp.zeros_like(h[:1])
+        return jnp.concatenate([z, h], axis=0)
 
-    c, outs = lax.scan(step, jnp.zeros_like(x[0]), x)
-    return jnp.concatenate([outs, c[None]], axis=0)
+    # pass 1: multi-bit local carries
+    t = jnp.concatenate([x & MASK, jnp.zeros_like(x[:1])], axis=0) + shift_up(x >> LBITS)[: K + 1]
+    # pass 2: now t < 2^17; one more split leaves single-bit carries
+    t = jnp.concatenate([t & MASK, jnp.zeros_like(t[:1])], axis=0)[: K + 1] + shift_up(t >> LBITS)[: K + 1]
+    # t < 2^16 + 1; generate/propagate on the (possible) +1 ripple
+    d = t & MASK
+    g = t >> LBITS  # in {0,1}: carry OUT of position k (before ripple)
+    p = (d == MASK).astype(U32)  # propagates an incoming carry
+    # Kogge-Stone: compose (g,p) over increasing strides; after full
+    # composition, g_k = carry INTO position k+1
+    stride = 1
+    n = K + 1
+    while stride < n:
+        gs = jnp.concatenate([jnp.zeros_like(g[:stride]), g[:-stride]], axis=0)
+        ps = jnp.concatenate([jnp.zeros_like(p[:stride]), p[:-stride]], axis=0)
+        g = g | (p & gs)
+        p = p & ps
+        stride *= 2
+    carry_in = jnp.concatenate([jnp.zeros_like(g[:1]), g[:-1]], axis=0)
+    return (d + carry_in) & MASK
 
 
 def _fold_once(x):
@@ -138,8 +168,13 @@ def _fold_full(x, n_folds: int):
 
 @jax.jit
 def add(a, b):
-    """a + b mod p; carried-limb in, carried-limb out (< 2^256)."""
-    return _fold_full(_carry(a + b), 3)
+    """a + b mod p; carried-limb in, carried-limb out (< 2^256).
+
+    Carry count is provably sufficient: after the first carry the top limb
+    is in {0,1}; after folding it the top can only re-carry when the low
+    part is < C, so the second fold's carry-out is 0.
+    """
+    return _fold_full(_carry(a + b), 2)
 
 
 # limbs of 2p - 2^256 + 1 (so that a + ~b + K2 == a - b + 2p); kept as
@@ -167,7 +202,7 @@ def sub(a, b):
     w = _u(MASK) - b  # exact: b limbs < 2^16
     k2 = _K2.reshape(NLIMB, *([1] * (a.ndim - 1)))
     t = _carry(a + w + k2)  # value a - b + 2p < 3*2^256: top limb <= 2
-    return _fold_full(t, 3)
+    return _fold_full(t, 2)
 
 
 def neg(a):
@@ -198,8 +233,10 @@ def mul(a, b):
     cols = jnp.zeros((2 * NLIMB, *batch), U32)
     cols = cols.at[: 2 * NLIMB - 1].add(cols_lo)
     cols = cols.at[1 : 2 * NLIMB].add(cols_hi)
-    limbs = _carry(cols)[: 2 * NLIMB]  # product < 2^512: carry-out is 0
-    return _fold_full(limbs, 4)
+    # fold the UNCARRIED columns first (cols < 2^21, so 979*cols < 2^32):
+    # saves one full carry pass; then two folds suffice (the second fold's
+    # carry-out is 0 because a set top limb implies a tiny low part).
+    return _fold_full(_fold_once(cols), 2)
 
 
 def sqr(a):
@@ -213,7 +250,7 @@ from functools import partial
 def mul_small(a, k: int):
     """a * k mod p for a small host constant 0 <= k < 2^15."""
     t = _carry(a * _u(k))
-    return _fold_full(t, 3)
+    return _fold_full(t, 2)
 
 
 @jax.jit

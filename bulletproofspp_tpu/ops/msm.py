@@ -64,21 +64,22 @@ def _table(px, py):
 
 
 def _reduce_lanes(sel, width):
-    """Tree-reduce points over the last axis with a FIXED-width shift-add
-    scan: one complete-add lowering for all log2(width) levels.  Lane 0 of
-    the result holds the sum; lanes >= shift hold garbage that later
-    levels never read (partner index i + s' < 2s' <= s for i < s')."""
+    """Tree-reduce points over the last axis, work-optimal (width-1 adds)
+    with few distinct lowerings: radix-8 levels fold 8 lanes with 7
+    complete adds that all share ONE shape (so the jitted padd lowers once
+    per level), giving ceil(log2(width)/3) lowerings instead of log2.
+    Returns the reduced tuple with last axis 1."""
     assert width & (width - 1) == 0, "lane count must be a power of two"
-    if width == 1:
-        return sel
-    shifts = jnp.asarray(np.array([width >> (k + 1) for k in range(width.bit_length() - 1)], np.int32))
-
-    def level(x, shift):
-        rolled = tuple(jnp.roll(t, -shift, axis=-1) for t in x)
-        return curve.padd(x, rolled), None
-
-    out, _ = lax.scan(level, sel, shifts)
-    return out
+    while width > 1:
+        radix = 8 if width % 8 == 0 else (4 if width % 4 == 0 else 2)
+        groups = width // radix
+        resh = tuple(t.reshape(*t.shape[:-1], groups, radix) for t in sel)
+        parts = [tuple(t[..., i] for t in resh) for i in range(radix)]
+        while len(parts) > 1:
+            parts = [curve.padd(parts[i], parts[i + 1]) for i in range(0, len(parts), 2)]
+        sel = parts[0]
+        width = groups
+    return sel
 
 
 def _dbl4(acc):
