@@ -34,10 +34,11 @@ def _msm_args(pts, scalars):
     from bulletproofspp_tpu.ops import glv, limb
     from bulletproofspp_tpu.ops.engine import _msm_lanes
 
+    from bulletproofspp_tpu.ops import curve
+
     absd, sgn, lane_pts = _msm_lanes(list(zip(scalars, pts)))
-    px = jnp.asarray(limb.pack_ints([q[0] for q in lane_pts]))
-    py = jnp.asarray(limb.pack_ints([q[1] for q in lane_pts]))
-    return px, py, jnp.asarray(absd), jnp.asarray(sgn)
+    px, py, pz = curve.from_affine_host(lane_pts)
+    return px, py, pz, jnp.asarray(absd), jnp.asarray(sgn)
 
 
 def bench_msm(n_points: int, iters: int):

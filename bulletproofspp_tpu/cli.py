@@ -67,6 +67,25 @@ def _resolve_values(spec, witness_objs):
     return out
 
 
+def _verbose_report(setup, proof, level: int):
+    """Verbose mode (the reference's ``runVerbose`` re-runs the protocol
+    printing intermediate scalars and commitment counts,
+    reference: app/Main.hs:214-239): structural report + engine metrics."""
+    from . import metrics
+
+    n_rp, nrm_len, lin_len = setup.info()
+    print(f"range-proof commitments: {len(proof.rp_coms)} (expected {n_rp})")
+    print(f"input commitments:       {len(proof.input_coms)}")
+    print(f"argument rounds:         {len(proof.bp.responses)}")
+    print(f"witness lengths:         nrm={nrm_len} lin={lin_len}; "
+          f"final opening scalars: {len(proof.bp.wit_scalars)}")
+    if level >= 2:
+        for i, s in enumerate(proof.bp.wit_scalars):
+            print(f"  wit[{i}] = {int(s)}")
+        snap = metrics.snapshot()
+        print(f"engine metrics: {snap['counters']}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bulletproofspp-tpu", description="Prove and Verify Bulletproof++ Zero Knowledge Proofs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -107,6 +126,8 @@ def main(argv=None):
             return 2
         values = _resolve_values(spec, wobjs)
         proof = rpm.prove(setup, values, spec.random_seed.encode(), engine)
+        if args.verbosity >= 1:
+            _verbose_report(setup, proof, args.verbosity)
         if to_verify:
             ok = rpm.verify(setup, proof, engine)
             print(f"In-process verify: {ok}")

@@ -86,9 +86,8 @@ class JaxEngine:
             absd = np.concatenate([absd, z], axis=1)  # digit 0 = identity
             sgn = np.concatenate([sgn, z], axis=1)
             lanes_pts = lanes_pts + [ec.G] * pad
-        px = jnp.asarray(limb.pack_ints([p[0] for p in lanes_pts]))
-        py = jnp.asarray(limb.pack_ints([p[1] for p in lanes_pts]))
-        acc = msm.run_msm(px, py, jnp.asarray(absd), jnp.asarray(sgn))
+        px, py, pz = curve.from_affine_host(lanes_pts)
+        acc = msm.run_msm(px, py, pz, jnp.asarray(absd), jnp.asarray(sgn))
         return curve.to_affine_host(acc)[0]
 
     # -- per-round basis folding --------------------------------------------
@@ -115,16 +114,17 @@ class JaxEngine:
         """Per-lane se*E_i + so*O_i (shared scalars, per-lane bases)."""
         n = len(even_pts)
         L = _bucket(n)
+        # None bases (odd-length pair padding in the argument layer,
+        # reference: mapHalves default, src/Bulletproof.hs:63-75) become
+        # identity lanes; pads use G (any valid point works)
         even_pts = even_pts + [ec.G] * (L - n)
         odd_pts = odd_pts + [ec.G] * (L - n)
         de, sge = glv.recode_signed(se)
         do, sgo = glv.recode_signed(so)
-        pex = jnp.asarray(limb.pack_ints([p[0] for p in even_pts]))
-        pey = jnp.asarray(limb.pack_ints([p[1] for p in even_pts]))
-        pox = jnp.asarray(limb.pack_ints([p[0] for p in odd_pts]))
-        poy = jnp.asarray(limb.pack_ints([p[1] for p in odd_pts]))
+        pex, pey, pez = curve.from_affine_host(even_pts)
+        pox, poy, poz = curve.from_affine_host(odd_pts)
         xn, yn, inf = msm.run_fold(
-            pex, pey, pox, poy,
+            pex, pey, pez, pox, poy, poz,
             jnp.asarray(de), jnp.asarray(sge), jnp.asarray(do), jnp.asarray(sgo),
         )
         return curve.affine_lanes_to_host(xn, yn, inf)
@@ -167,7 +167,6 @@ class ShardedJaxEngine(JaxEngine):
             sgn = np.concatenate([sgn, z], axis=1)
             lanes_pts = lanes_pts + [ec.G] * pad
         absd, sgn = sharded.pad_rows(jnp.asarray(absd), jnp.asarray(sgn), self._nwin)
-        px = jnp.asarray(limb.pack_ints([p[0] for p in lanes_pts]))
-        py = jnp.asarray(limb.pack_ints([p[1] for p in lanes_pts]))
-        acc = self._step(px, py, absd, sgn)
+        px, py, pz = curve.from_affine_host(lanes_pts)
+        acc = self._step(px, py, pz, absd, sgn)
         return curve.to_affine_host(acc)[0]

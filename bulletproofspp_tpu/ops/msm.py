@@ -39,16 +39,18 @@ from .glv import ROWS
 U32 = jnp.uint32
 
 
-def _table(px, py):
-    """Affine lanes (16, L) -> multiple tables (16, 9, L) for 0P..8P,
+def _table(px, py, pz):
+    """Projective lanes (16, L) -> multiple tables (16, 9, L) for 0P..8P,
     plus the Y table extended with negated entries: (16, 18, L).
 
-    The 7 chained additions run under ``lax.scan`` so the complete-add
-    body lowers ONCE (compile time on the XLA CPU backend scales with the
-    number of inlined point ops, so every repeated op here is a scan)."""
+    Bases are PROJECTIVE (complete formulas never need affine inputs), so
+    identity lanes (0:1:0) are valid pad/None encodings.  The 7 chained
+    additions run under ``lax.scan`` so the complete-add body lowers ONCE
+    (compile time on the XLA CPU backend scales with the number of
+    inlined point ops, so every repeated op here is a scan)."""
     one = limb.ones(px.shape[1:])
     zero = limb.zeros(px.shape[1:])
-    base = (px, py, one)
+    base = (px, py, pz)
     ident = (zero, one, zero)
 
     def step(acc, _):
@@ -87,16 +89,17 @@ def _dbl4(acc):
     return lax.scan(lambda a, _: (curve.pdbl(a), None), acc, None, length=4)[0]
 
 
-def msm_kernel(px, py, absd, sgn):
+def msm_kernel(px, py, pz, absd, sgn):
     """sum_i s_i * P_i over L lanes.
 
-    px, py: (16, L) affine lanes (GLV halves pre-expanded by the caller).
+    px, py, pz: (16, L) projective lanes (GLV halves pre-expanded by the
+    caller; identity lanes encode None/padding).
     absd, sgn: (ROWS, L) uint32 digit magnitudes [0..8] and signs {0,1}.
     Returns a single projective point as (16, 1) limb planes per coord.
     """
     L = px.shape[-1]
     rows = absd.shape[0]
-    tx, ty2, tz = _table(px, py)
+    tx, ty2, tz = _table(px, py, pz)
 
     idx = jnp.broadcast_to(absd[None], (limb.NLIMB, rows, L)).astype(jnp.int32)
     idxy = jnp.broadcast_to((absd + 9 * sgn)[None], (limb.NLIMB, rows, L)).astype(jnp.int32)
@@ -120,18 +123,19 @@ def msm_kernel(px, py, absd, sgn):
     return acc
 
 
-def fold_mul_kernel(pex, pey, pox, poy, de, se, do, so):
+def fold_mul_kernel(pex, pey, pez, pox, poy, poz, de, se, do, so):
     """Per-lane b*E_i + a*O_i with SHARED digit streams.
 
-    pex/pey, pox/poy: (16, L) affine lanes for the two bases.
+    pex/pey/pez, pox/poy/poz: (16, L) projective lanes for the two bases
+    (identity encodes a None base, whose contribution is the identity).
     de, se: (ROWS,) digits/signs of the scalar multiplying E lanes;
     do, so: same for O lanes.  Returns projective (16, L) coords.
 
     Covers basis folding (reference: src/Commitment.hs:343-353) and, with
     O = phi(E), shared scalar mult k*P via GLV halves.
     """
-    tex, tey2, tez = _table(pex, pey)
-    tox, toy2, toz = _table(pox, poy)
+    tex, tey2, tez = _table(pex, pey, pez)
+    tox, toy2, toz = _table(pox, poy, poz)
 
     def body(acc, row):
         d_e, s_e, d_o, s_o = row
@@ -159,13 +163,13 @@ _msm_compiled = jax.jit(msm_kernel)
 _fold_compiled = jax.jit(fold_mul_kernel)
 
 
-def run_msm(px, py, absd, sgn):
-    return _msm_compiled(px, py, absd, sgn)
+def run_msm(px, py, pz, absd, sgn):
+    return _msm_compiled(px, py, pz, absd, sgn)
 
 
-def run_fold(pex, pey, pox, poy, de, se, do, so):
+def run_fold(pex, pey, pez, pox, poy, poz, de, se, do, so):
     """fold_mul then batched normalize to affine lanes on device."""
-    acc = _fold_compiled(pex, pey, pox, poy, de, se, do, so)
+    acc = _fold_compiled(pex, pey, pez, pox, poy, poz, de, se, do, so)
     return _to_affine_compiled(acc)
 
 

@@ -60,7 +60,7 @@ def pad_rows(absd, sgn, win: int):
     return absd, sgn
 
 
-def sharded_msm(mesh: Mesh, px, py, absd, sgn):
+def sharded_msm(mesh: Mesh, px, py, pz, absd, sgn):
     """MSM sharded over ('win', 'pts'); returns replicated projective
     (16, 1) coordinate planes.
 
@@ -74,17 +74,17 @@ def sharded_msm(mesh: Mesh, px, py, absd, sgn):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, "pts"), P(None, "pts"), P("win", "pts"), P("win", "pts")),
+        in_specs=(P(None, "pts"), P(None, "pts"), P(None, "pts"), P("win", "pts"), P("win", "pts")),
         out_specs=(P(), P(), P()),
         # the gather+fold produces bit-identical values on every device;
         # that replication is data-flow equality the static VMA checker
         # cannot see, so the check is disabled for this kernel
         check_vma=False,
     )
-    def step(pxl, pyl, absdl, sgnl):
+    def step(pxl, pyl, pzl, absdl, sgnl):
         from .msm import _reduce_lanes
 
-        part = msm_kernel(pxl, pyl, absdl, sgnl)  # local rows x local lanes
+        part = msm_kernel(pxl, pyl, pzl, absdl, sgnl)  # local rows x local lanes
 
         # combine over point shards: gather + fold (group op, not psum)
         gath = tuple(
@@ -106,7 +106,7 @@ def sharded_msm(mesh: Mesh, px, py, absd, sgn):
             tot, _ = lax.scan(horner, tot, jnp.arange(1, nwin))
         return tot
 
-    return step(px, py, absd, sgn)
+    return step(px, py, pz, absd, sgn)
 
 
 def sharded_msm_jit(mesh: Mesh):

@@ -48,6 +48,7 @@ def test_native_recode_signed_matches_python():
         assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1]), v
 
 
+@pytest.mark.slow
 def test_engine_uses_native_and_matches_host():
     """End parity: JaxEngine msm (native digits) == host engine msm."""
     from bulletproofspp_tpu.core import ec

@@ -31,10 +31,11 @@ def _msm_inputs(n):
         halves += [k1, k2]
         lane_pts += [pt, (ec.BETA * pt[0] % ec.P, pt[1])]
     absd, sgn = glv.recode_batch(halves)
-    px = jnp.asarray(limb.pack_ints([q[0] for q in lane_pts]))
-    py = jnp.asarray(limb.pack_ints([q[1] for q in lane_pts]))
+    from bulletproofspp_tpu.ops import curve
+
+    px, py, pz = curve.from_affine_host(lane_pts)
     want = ec.msm_host(scalars, pts)
-    return (px, py, jnp.asarray(absd), jnp.asarray(sgn)), want
+    return (px, py, pz, jnp.asarray(absd), jnp.asarray(sgn)), want
 
 
 @pytest.mark.slow
@@ -43,9 +44,9 @@ def test_sharded_msm_matches_single_device():
 
     assert len(jax.devices()) >= 8
     mesh = sharded.make_mesh(jax.devices()[:8], win=2)  # 2 x 4
-    (px, py, absd, sgn), want = _msm_inputs(16)  # 32 lanes = 8 per pts-shard
+    (px, py, pz, absd, sgn), want = _msm_inputs(16)  # 32 lanes = 8 per pts-shard
     absd, sgn = sharded.pad_rows(absd, sgn, 2)
-    got = sharded.sharded_msm_jit(mesh)(px, py, absd, sgn)
+    got = sharded.sharded_msm_jit(mesh)(px, py, pz, absd, sgn)
     assert curve.to_affine_host(got) == [want]
 
 
