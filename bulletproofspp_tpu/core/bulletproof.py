@@ -51,12 +51,13 @@ def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BP
     arg = setup.arg_cls.make(
         setup.q, setup.bp_coeffs, wit_nrm, setup.nrm_bases, wit_lin, setup.lin_bases, engine
     )
+    sb = engine.basevec([setup.scalar_base])
     sc = wit_scalar
     responses = []
     for _ in range(setup.rounds):
-        s_l, l_pairs, s_r, r_pairs = arg.make_scalars_coms()
-        ac = engine.msm([(s_l, setup.scalar_base)] + l_pairs)
-        bc = engine.msm([(s_r, setup.scalar_base)] + r_pairs)
+        s_l, l_groups, s_r, r_groups = arg.make_scalars_coms()
+        ac = engine.msm_groups([([s_l], sb)] + l_groups)
+        bc = engine.msm_groups([([s_r], sb)] + r_groups)
         e = Fr(tr.oracle([ac, bc], 1)[0])
         e0, e1 = setup.arg_cls.make_es(e)
         sc = sc + e0 * s_l + e1 * s_r

@@ -24,8 +24,46 @@ from .fields import R
 
 
 class HostEngine:
-    """Pure-Python engine (ground truth / small inputs)."""
+    """Pure-Python engine (ground truth / small inputs).
 
+    Base vectors ("BV") are the engine's opaque representation of a basis
+    point list; for the host engine that is a plain Python list of affine
+    tuples / None.  The JAX engine keeps them as device-resident projective
+    limb planes (ops.engine.DevicePoints) so per-round folding never
+    round-trips through the host (SURVEY §7.4 host/device choreography).
+    """
+
+    # -- base-vector ops -----------------------------------------------------
+    def basevec(self, points):
+        return list(points)
+
+    def bv_pad(self, bv, m: int):
+        return list(bv) + [None] * (m - len(bv))
+
+    def bv_split(self, bv):
+        """(even, odd) halves; odd padded to len(even) with the identity
+        (the argument layer's pair-padding, reference: src/Bulletproof.hs:63-75)."""
+        even = list(bv[0::2])
+        odd = list(bv[1::2])
+        odd += [None] * (len(even) - len(odd))
+        return even, odd
+
+    def msm_groups(self, groups):
+        """groups: iterable of (scalars, basevec); returns the combined MSM."""
+        pairs = []
+        for scalars, bv in groups:
+            pairs.extend(zip(scalars, bv))
+        return self.msm(pairs)
+
+    def complete_square(self, r: int, g0s, g1s):
+        """Square-completion base transform: (g1 + r*g0, g1 - r*g0) lanes
+        (reference: src/Bulletproof/InnerProductArgument.hs:194-206)."""
+        rp = self.shared_mul(r, g0s)
+        gx = [ec.add(g1, p) for g1, p in zip(g1s, rp)]
+        hy = [ec.add(g1, ec.neg(p) if p else None) for g1, p in zip(g1s, rp)]
+        return gx, hy
+
+    # -- EC primitives --------------------------------------------------------
     def msm(self, pairs):
         flt = [(int(s) % R, p) for s, p in pairs]
         flt = [(s, p) for s, p in flt if s != 0 and p is not None]
@@ -34,9 +72,12 @@ class HostEngine:
     def fold_bases(self, b: int, a: int, g_even, g_odd):
         return [ec.double_base_mul(b, ge, a, go) for ge, go in zip(g_even, g_odd)]
 
+    # base-vector variant (same math; lists are the host representation)
+    fold_bv = fold_bases
+
     def shared_mul(self, k: int, pts):
         k = int(k) % R
-        return [ec.scalar_mul(k, p) for p in pts]
+        return [ec.scalar_mul(k, p) if p is not None else None for p in pts]
 
 
 _default_engine = None

@@ -46,20 +46,24 @@ class NormIP:
     element lists xs/gxs/ys/hys (reference: InnerProductArgument.hs:43-124,
     190-231)."""
 
-    def __init__(self, s, nx, ny, q, qinv, xs, gxs, ys, hys):
+    def __init__(self, engine, s, nx, ny, q, qinv, xs, gxs, ys, hys):
+        self.engine = engine
         self.s = s
         self.nx = nx
         self.ny = ny
         self.q = q
         self.qinv = qinv
         self.xs = xs
-        self.gxs = gxs
+        self.gxs = gxs  # base vector
         self.ys = ys
-        self.hys = hys
+        self.hys = hys  # base vector
 
     @classmethod
     def make(cls, r: Fr, ss, gs, engine):
-        """Square-completion construction (reference: InnerProductArgument.hs:194-206)."""
+        """Square-completion construction (reference: InnerProductArgument.hs:194-206).
+
+        The base transform g' = g1 + r*g0, h' = g1 - r*g0 runs on the
+        engine (device-side for the JAX engine, engine.complete_square)."""
         m = max(len(ss), len(gs))
         ss = list(ss) + [Fr(0)] * (m - len(ss))
         gs = list(gs) + [None] * (m - len(gs))
@@ -67,15 +71,22 @@ class NormIP:
         half = Fr(2).inv()
         r2inv = (2 * r).inv()
         sp = _pad_pairs(ss, Fr(0))
-        gp = _pad_pairs(gs, None)
-        rp = engine.shared_mul(int(r), [g0 for g0, _ in gp])
-        xs, gxs, ys, hys = [], [], [], []
-        for (s0, s1), (_, g1), p in zip(sp, gp, rp):
+        g0s = gs[0::2]
+        g1s = gs[1::2] + [None] * (len(g0s) - len(gs[1::2]))
+        gxs, hys = engine.complete_square(int(r), g0s, g1s)
+        xs, ys = [], []
+        for s0, s1 in sp:
             xs.append(r2inv * s0 + half * s1)
             ys.append(-(r2inv * s0) + half * s1)
-            gxs.append(ec.add(g1, p))
-            hys.append(ec.add(g1, ec.neg(p)))
-        return cls(Fr(4), Fr(1), Fr(1), q, q.inv(), xs, gxs, ys, hys)
+        return cls(engine, Fr(4), Fr(1), Fr(1), q, q.inv(), xs, gxs, ys, hys)
+
+    def _halves(self):
+        pad = len(self.xs) % 2
+        x_even, x_odd = self.xs[0::2], self.xs[1::2] + [Fr(0)] * pad
+        y_even, y_odd = self.ys[0::2], self.ys[1::2] + [Fr(0)] * pad
+        gx_even, gx_odd = self.engine.bv_split(self.gxs)
+        hy_even, hy_odd = self.engine.bv_split(self.hys)
+        return x_even, x_odd, y_even, y_odd, gx_even, gx_odd, hy_even, hy_odd
 
     def make_scalars_coms(self):
         """(reference: InnerProductArgument.hs:70-81)."""
@@ -84,20 +95,21 @@ class NormIP:
         s = Fr(1)
         sL = Fr(0)
         sR = Fr(0)
-        l_pairs = []
-        r_pairs = []
-        zp = (Fr(0), None, Fr(0), None)
-        elems = list(zip(self.xs, self.gxs, self.ys, self.hys))
-        for (xl, gl, yl, hl), (xr, gr, yr, hr) in _pad_pairs(elems, zp):
+        x_even, x_odd, y_even, y_odd, gx_even, gx_odd, hy_even, hy_odd = self._halves()
+        for xl, xr, yl, yr in zip(x_even, x_odd, y_even, y_odd):
             sL = sL + s * xl * yr
             sR = sR + s * xr * yl
-            l_pairs.append((qinv * xl, gr))
-            l_pairs.append((yr, hl))
-            r_pairs.append((q * xr, gl))
-            r_pairs.append((yl, hr))
             s = s * q2
+        l_groups = [
+            ([qinv * x for x in x_even], gx_odd),
+            (list(y_odd), hy_even),
+        ]
+        r_groups = [
+            ([q * x for x in x_odd], gx_even),
+            (list(y_even), hy_odd),
+        ]
         nxy = self.s * self.nx * self.ny
-        return (nxy * q * sL, l_pairs, nxy * q2 * sR, r_pairs)
+        return (nxy * q * sL, l_groups, nxy * q2 * sR, r_groups)
 
     def collapse(self, e: Fr, engine):
         """(reference: InnerProductArgument.hs:86-101)."""
@@ -109,15 +121,13 @@ class NormIP:
         b0inv = b0.inv()
         d0inv = d0.inv()
         eq = e * self.q
-        xp = _pad_pairs(self.xs, Fr(0))
-        yp = _pad_pairs(self.ys, Fr(0))
-        gp = _pad_pairs(self.gxs, None)
-        hp = _pad_pairs(self.hys, None)
-        xs2 = [b0inv * (xl + eq * xr) for xl, xr in xp]
-        ys2 = [d0inv * (yl + einv * yr) for yl, yr in yp]
-        gs2 = engine.fold_bases(b, a, [g for g, _ in gp], [g for _, g in gp])
-        hs2 = engine.fold_bases(d, c, [h for h, _ in hp], [h for _, h in hp])
+        x_even, x_odd, y_even, y_odd, gx_even, gx_odd, hy_even, hy_odd = self._halves()
+        xs2 = [b0inv * (xl + eq * xr) for xl, xr in zip(x_even, x_odd)]
+        ys2 = [d0inv * (yl + einv * yr) for yl, yr in zip(y_even, y_odd)]
+        gs2 = engine.fold_bv(b, a, gx_even, gx_odd)
+        hs2 = engine.fold_bv(d, c, hy_even, hy_odd)
         return NormIP(
+            engine,
             self.s,
             self.nx * b0 * self.qinv,
             self.ny * d0,
@@ -155,30 +165,24 @@ class LinearIP(LinearNL):
     def make_scalars_coms(self):
         sL = Fr(0)
         sR = Fr(0)
-        l_pairs = []
-        r_pairs = []
-        cps = _pad_pairs(self.cs, Fr(0))
-        xps = _pad_pairs(self.xs, Fr(0))
-        gps = _pad_pairs(self.gs, None)
-        for (cl, cr), (xl, xr), (gl, gr) in zip(cps, xps, gps):
+        c_even, c_odd, x_even, x_odd, g_even, g_odd = self._halves()
+        for cl, cr, xl, xr in zip(c_even, c_odd, x_even, x_odd):
             sL = sL + cr * xl
             sR = sR + cl * xr
-            l_pairs.append((xl, gr))
-            r_pairs.append((xr, gl))
-        return sL, l_pairs, sR, r_pairs
+        l_groups = [(list(x_even), g_odd)]
+        r_groups = [(list(x_odd), g_even)]
+        return sL, l_groups, sR, r_groups
 
     def collapse(self, e: Fr, engine):
         a, b = rational_reduce(int(e.inv()), R)
         a0 = Fr(a)
         b0 = Fr(b)
         b0inv = b0.inv()
-        cps = _pad_pairs(self.cs, Fr(0))
-        xps = _pad_pairs(self.xs, Fr(0))
-        gps = _pad_pairs(self.gs, None)
-        cs2 = [b0 * cl + a0 * cr for cl, cr in cps]
-        xs2 = [b0inv * xl + e * b0inv * xr for xl, xr in xps]
-        gs2 = engine.fold_bases(b, a, [g for g, _ in gps], [g for _, g in gps])
-        return LinearIP(cs2, xs2, gs2, n=self.n * b0)
+        c_even, c_odd, x_even, x_odd, g_even, g_odd = self._halves()
+        cs2 = [b0 * cl + a0 * cr for cl, cr in zip(c_even, c_odd)]
+        xs2 = [b0inv * xl + e * b0inv * xr for xl, xr in zip(x_even, x_odd)]
+        gs2 = engine.fold_bv(b, a, g_even, g_odd)
+        return LinearIP(engine, cs2, xs2, gs2, n=self.n * b0)
 
 
 class NormLinearIP:
@@ -192,7 +196,7 @@ class NormLinearIP:
 
     @classmethod
     def make(cls, q: Fr, cs, nrm_xs, nrm_gs, lin_xs, lin_gs, engine):
-        return cls(NormIP.make(q, nrm_xs, nrm_gs, engine), LinearIP(cs, lin_xs, lin_gs))
+        return cls(NormIP.make(q, nrm_xs, nrm_gs, engine), LinearIP(engine, cs, lin_xs, lin_gs))
 
     @staticmethod
     def optimal_witness_size(nrm_len: int, lin_len: int):

@@ -75,35 +75,43 @@ def _pad_pairs(xs, default):
 
 
 class NormNL:
-    """Norm sub-argument prover state (reference: NormArgument.hs:86-148)."""
+    """Norm sub-argument prover state (reference: NormArgument.hs:86-148).
 
-    def __init__(self, q: Fr, xs, gs, n: Fr | None = None, qinv: Fr | None = None):
+    Bases are an engine base-vector (device-resident for the JAX engine);
+    witness scalars stay host-side Fr."""
+
+    def __init__(self, engine, q: Fr, xs, gs, n: Fr | None = None, qinv: Fr | None = None):
+        self.engine = engine
         m = max(len(xs), len(gs))
         self.xs = list(xs) + [Fr(0)] * (m - len(xs))
-        self.gs = list(gs) + [None] * (m - len(gs))
+        self.gs = engine.bv_pad(engine.basevec(gs), m)
         self.q = q
         self.qinv = qinv if qinv is not None else q.inv()
         self.n = n if n is not None else Fr(1)
 
+    def _halves(self):
+        x_even = self.xs[0::2]
+        x_odd = self.xs[1::2] + [Fr(0)] * (len(self.xs) % 2)
+        g_even, g_odd = self.engine.bv_split(self.gs)
+        return x_even, x_odd, g_even, g_odd
+
     def make_scalars_coms(self):
-        """Returns (sX, L_pairs, sR, R_pairs); scalars are Fr, pairs are
-        (Fr, point) MSM terms (reference: NormArgument.hs:113-117)."""
+        """Returns (sX, L_groups, sR, R_groups); scalars are Fr, groups are
+        (scalar list, base vector) MSM terms (reference: NormArgument.hs:113-117)."""
         q, qinv, n = self.q, self.qinv, self.n
         q4 = q**4
         s = Fr(1)
         sX = Fr(0)
         sR = Fr(0)
-        l_pairs = []
-        r_pairs = []
-        for (xl, xr), (gl, gr) in zip(_pad_pairs(self.xs, Fr(0)), _pad_pairs(self.gs, None)):
+        x_even, x_odd, g_even, g_odd = self._halves()
+        for xl, xr in zip(x_even, x_odd):
             sX = sX + s * xl * xr
             sR = sR + s * xr * xr
-            l_pairs.append((q * xr, gl))
-            l_pairs.append((qinv * xl, gr))
-            r_pairs.append((xr, gr))
             s = s * q4
+        l_groups = [([q * x for x in x_odd], g_even), ([qinv * x for x in x_even], g_odd)]
+        r_groups = [(list(x_odd), g_odd)]
         n2 = n * n
-        return (2 * n2 * q**3 * sX, l_pairs, n2 * q**4 * sR, r_pairs)
+        return (2 * n2 * q**3 * sX, l_groups, n2 * q**4 * sR, r_groups)
 
     def collapse(self, e: Fr, engine):
         """(reference: NormArgument.hs:123-129)."""
@@ -111,11 +119,10 @@ class NormNL:
         b0 = Fr(b)
         b0inv = b0.inv()
         eq = e * self.q * b0inv
-        xps = _pad_pairs(self.xs, Fr(0))
-        gps = _pad_pairs(self.gs, None)
-        xs2 = [b0inv * xl + eq * xr for xl, xr in xps]
-        gs2 = engine.fold_bases(b, a, [g for g, _ in gps], [g for _, g in gps])
-        return NormNL(self.q**2, xs2, gs2, n=self.n * b0 * self.qinv, qinv=self.qinv**2)
+        x_even, x_odd, g_even, g_odd = self._halves()
+        xs2 = [b0inv * xl + eq * xr for xl, xr in zip(x_even, x_odd)]
+        gs2 = engine.fold_bv(b, a, g_even, g_odd)
+        return NormNL(engine, self.q**2, xs2, gs2, n=self.n * b0 * self.qinv, qinv=self.qinv**2)
 
     def eval_scalar(self) -> Fr:
         q2 = self.q**2
@@ -133,42 +140,43 @@ class NormNL:
 class LinearNL:
     """Linear sub-argument prover state (reference: NormArgument.hs:34-81)."""
 
-    def __init__(self, cs, xs, gs, n: Fr | None = None):
+    def __init__(self, engine, cs, xs, gs, n: Fr | None = None):
+        self.engine = engine
         m = max(len(cs), len(xs), len(gs))
         self.cs = list(cs) + [Fr(0)] * (m - len(cs))
         self.xs = list(xs) + [Fr(0)] * (m - len(xs))
-        self.gs = list(gs) + [None] * (m - len(gs))
+        self.gs = engine.bv_pad(engine.basevec(gs), m)
         self.n = n if n is not None else Fr(1)
+
+    def _halves(self):
+        pad = len(self.xs) % 2
+        c_even, c_odd = self.cs[0::2], self.cs[1::2] + [Fr(0)] * pad
+        x_even, x_odd = self.xs[0::2], self.xs[1::2] + [Fr(0)] * pad
+        g_even, g_odd = self.engine.bv_split(self.gs)
+        return c_even, c_odd, x_even, x_odd, g_even, g_odd
 
     def make_scalars_coms(self):
         """(reference: NormArgument.hs:56-59)."""
         sL = Fr(0)
         sR = Fr(0)
-        l_pairs = []
-        r_pairs = []
-        cps = _pad_pairs(self.cs, Fr(0))
-        xps = _pad_pairs(self.xs, Fr(0))
-        gps = _pad_pairs(self.gs, None)
-        for (cl, cr), (xl, xr), (gl, gr) in zip(cps, xps, gps):
+        c_even, c_odd, x_even, x_odd, g_even, g_odd = self._halves()
+        for cl, cr, xl, xr in zip(c_even, c_odd, x_even, x_odd):
             sL = sL + cl * xr + cr * xl
             sR = sR + cr * xr
-            l_pairs.append((xr, gl))
-            l_pairs.append((xl, gr))
-            r_pairs.append((xr, gr))
-        return sL, l_pairs, sR, r_pairs
+        l_groups = [(list(x_odd), g_even), (list(x_even), g_odd)]
+        r_groups = [(list(x_odd), g_odd)]
+        return sL, l_groups, sR, r_groups
 
     def collapse(self, e: Fr, engine):
         a, b = rational_reduce(int(e), R)
         a0 = Fr(a)
         b0 = Fr(b)
         b0inv = b0.inv()
-        cps = _pad_pairs(self.cs, Fr(0))
-        xps = _pad_pairs(self.xs, Fr(0))
-        gps = _pad_pairs(self.gs, None)
-        cs2 = [b0 * cl + a0 * cr for cl, cr in cps]
-        xs2 = [b0inv * xl + e * b0inv * xr for xl, xr in xps]
-        gs2 = engine.fold_bases(b, a, [g for g, _ in gps], [g for _, g in gps])
-        return LinearNL(cs2, xs2, gs2, n=self.n * b0)
+        c_even, c_odd, x_even, x_odd, g_even, g_odd = self._halves()
+        cs2 = [b0 * cl + a0 * cr for cl, cr in zip(c_even, c_odd)]
+        xs2 = [b0inv * xl + e * b0inv * xr for xl, xr in zip(x_even, x_odd)]
+        gs2 = engine.fold_bv(b, a, g_even, g_odd)
+        return type(self)(engine, cs2, xs2, gs2, n=self.n * b0)
 
     def eval_scalar(self) -> Fr:
         acc = Fr(0)
@@ -192,8 +200,8 @@ class NormLinearNL:
         self.lin = lin
 
     @classmethod
-    def make(cls, q: Fr, cs, nrm_xs, nrm_gs, lin_xs, lin_gs, engine=None):
-        return cls(NormNL(q, nrm_xs, nrm_gs), LinearNL(cs, lin_xs, lin_gs))
+    def make(cls, q: Fr, cs, nrm_xs, nrm_gs, lin_xs, lin_gs, engine):
+        return cls(NormNL(engine, q, nrm_xs, nrm_gs), LinearNL(engine, cs, lin_xs, lin_gs))
 
     @staticmethod
     def optimal_witness_size(nrm_len: int, lin_len: int):

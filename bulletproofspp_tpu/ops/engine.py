@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import ec
@@ -34,6 +35,22 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 def _endo_host(pt):
     return (ec.BETA * pt[0] % Q, pt[1])
+
+
+@jax.jit
+def _endo_compiled(x, y, z):
+    return curve.endo((x, y, z))
+
+
+def _recode_one(v: int):
+    """Signed-digit rows for one scalar via the native library when
+    available (bulletproofspp_tpu.native), else Python."""
+    from .. import native
+
+    nat = native.recode_signed(v)
+    if nat is not None:
+        return nat
+    return glv.recode_signed(v)
 
 
 def _msm_lanes(flt):
@@ -58,6 +75,57 @@ def _msm_lanes(flt):
     return absd, sgn, lanes_pts
 
 
+class DevicePoints:
+    """Projective secp256k1 point lanes resident on device: the JaxEngine's
+    opaque base-vector representation.  Folded bases stay on device across
+    argument rounds — no normalization, no host round-trip (the reference
+    re-normalizes every fold, src/Commitment.hs:118-169; complete
+    projective formulas make that unnecessary)."""
+
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, x, y, z):
+        self.x, self.y, self.z = x, y, z
+
+    def __len__(self):
+        return self.x.shape[-1]
+
+    def to_host(self):
+        return curve.to_affine_host((self.x, self.y, self.z))
+
+
+def _identity_cols(n: int):
+    zero = limb.zeros((n,))
+    return zero, limb.ones((n,)), jnp.zeros_like(zero)
+
+
+def _dp_concat(parts):
+    return DevicePoints(
+        jnp.concatenate([p.x for p in parts], axis=-1),
+        jnp.concatenate([p.y for p in parts], axis=-1),
+        jnp.concatenate([p.z for p in parts], axis=-1),
+    )
+
+
+def _dp_pad(dp: DevicePoints, m: int) -> DevicePoints:
+    k = m - len(dp)
+    if k <= 0:
+        return dp
+    zx, zy, zz = _identity_cols(k)
+    return _dp_concat([dp, DevicePoints(zx, zy, zz)])
+
+
+@jax.jit
+def _interleave_endo(x, y, z):
+    """(16, n) lanes -> (16, 2n) [P_i, phi(P_i)] interleaved lanes."""
+    ex, ey, ez = curve.endo((x, y, z))
+
+    def ilv(a, b):
+        return jnp.stack([a, b], axis=-1).reshape(a.shape[0], -1)
+
+    return ilv(x, ex), ilv(y, ey), ilv(z, ez)
+
+
 class JaxEngine:
     """Device-backed engine.  ``host_below``: lane-count threshold under
     which calls fall back to the exact host engine (dispatch+transfer
@@ -68,6 +136,88 @@ class JaxEngine:
             host_below = int(os.environ.get("BPPP_JAX_MIN_LANES", "0"))
         self.host_below = host_below
         self._host = HostEngine()
+
+    # -- base-vector ops -----------------------------------------------------
+    def basevec(self, points) -> DevicePoints:
+        if isinstance(points, DevicePoints):
+            return points
+        x, y, z = curve.from_affine_host(list(points))
+        return DevicePoints(x, y, z)
+
+    def bv_pad(self, bv, m: int) -> DevicePoints:
+        return _dp_pad(self.basevec(bv), m)
+
+    def bv_split(self, bv):
+        bv = self.basevec(bv)
+        even = DevicePoints(bv.x[:, 0::2], bv.y[:, 0::2], bv.z[:, 0::2])
+        odd = DevicePoints(bv.x[:, 1::2], bv.y[:, 1::2], bv.z[:, 1::2])
+        return even, _dp_pad(odd, len(even))
+
+    def msm_groups(self, groups):
+        """Combined MSM over (scalars, basevec) groups; scalars are host
+        field elements, bases stay device-resident."""
+        scalars = []
+        lanes = []
+        for svec, bv in groups:
+            svals = [int(s) % R for s in svec]
+            bv = self.basevec(bv)
+            n = min(len(svals), len(bv))
+            if n == 0:
+                continue
+            scalars.extend(svals[:n])
+            lanes.append(
+                DevicePoints(bv.x[:, :n], bv.y[:, :n], bv.z[:, :n])
+            )
+        if not scalars:
+            return None
+        metrics.count("engine.msm.lanes", 2 * len(scalars))
+        from .. import native
+
+        nat = native.glv_recode_batch(scalars)
+        if nat is not None:
+            absd, sgn = nat
+        else:
+            halves = []
+            for s in scalars:
+                k1, k2 = glv.split(s)
+                halves += [k1, k2]
+            absd, sgn = glv.recode_batch(halves)
+        cat = _dp_concat(lanes)
+        px, py, pz = _interleave_endo(cat.x, cat.y, cat.z)
+        L = _bucket(absd.shape[1])
+        pad = L - absd.shape[1]
+        if pad:
+            z = np.zeros((glv.ROWS, pad), np.uint32)
+            absd = np.concatenate([absd, z], axis=1)
+            sgn = np.concatenate([sgn, z], axis=1)
+            zx, zy, zz = _identity_cols(pad)
+            px = jnp.concatenate([px, zx], axis=-1)
+            py = jnp.concatenate([py, zy], axis=-1)
+            pz = jnp.concatenate([pz, zz], axis=-1)
+        acc = msm.run_msm(px, py, pz, jnp.asarray(absd), jnp.asarray(sgn))
+        return curve.to_affine_host(acc)[0]
+
+    def complete_square(self, r: int, g0s, g1s):
+        """(g1 + r*g0, g1 - r*g0) as device base vectors
+        (reference: src/Bulletproof/InnerProductArgument.hs:194-206)."""
+        g0 = self.basevec(g0s)
+        g1 = self.bv_pad(self.basevec(g1s), len(g0))
+        k1, k2 = glv.split(int(r) % R)
+        de, sge = glv.recode_signed(k1)
+        do, sgo = glv.recode_signed(k2)
+        n = len(g0)
+        L = _bucket(n)
+        g0 = _dp_pad(g0, L)
+        g1 = _dp_pad(g1, L)
+        ex, ey, ez = _endo_compiled(g0.x, g0.y, g0.z)
+        gx_x, gx_y, gx_z, hy_x, hy_y, hy_z = msm._csq_compiled(
+            g0.x, g0.y, g0.z, ex, ey, ez, g1.x, g1.y, g1.z,
+            jnp.asarray(de), jnp.asarray(sge), jnp.asarray(do), jnp.asarray(sgo),
+        )
+        return (
+            DevicePoints(gx_x[:, :n], gx_y[:, :n], gx_z[:, :n]),
+            DevicePoints(hy_x[:, :n], hy_y[:, :n], hy_z[:, :n]),
+        )
 
     # -- msm ---------------------------------------------------------------
     def msm(self, pairs):
@@ -89,6 +239,24 @@ class JaxEngine:
         px, py, pz = curve.from_affine_host(lanes_pts)
         acc = msm.run_msm(px, py, pz, jnp.asarray(absd), jnp.asarray(sgn))
         return curve.to_affine_host(acc)[0]
+
+    def fold_bv(self, b: int, a: int, even, odd):
+        """Device-resident basis folding: b*E_i + a*O_i lanes, PROJECTIVE
+        output kept on device (no normalization — complete formulas accept
+        projective inputs everywhere)."""
+        even = self.basevec(even)
+        odd = self.bv_pad(self.basevec(odd), len(even))
+        n = len(even)
+        L = _bucket(n)
+        even = _dp_pad(even, L)
+        odd = _dp_pad(odd, L)
+        de, sge = _recode_one(int(b))
+        do, sgo = _recode_one(int(a))
+        x, y, z = msm._fold_compiled(
+            even.x, even.y, even.z, odd.x, odd.y, odd.z,
+            jnp.asarray(de), jnp.asarray(sge), jnp.asarray(do), jnp.asarray(sgo),
+        )
+        return DevicePoints(x[:, :n], y[:, :n], z[:, :n])
 
     # -- per-round basis folding --------------------------------------------
     def fold_bases(self, b: int, a: int, g_even, g_odd):

@@ -159,8 +159,20 @@ def fold_mul_kernel(pex, pey, pez, pox, poy, poz, de, se, do, so):
     return acc
 
 
+def complete_square_kernel(g0x, g0y, g0z, e0x, e0y, e0z, g1x, g1y, g1z, de, se, do, so):
+    """(g1 + r*g0, g1 - r*g0) lanes where r*g0 is evaluated via GLV halves
+    (g0, phi(g0)) with shared digit streams (reference:
+    src/Bulletproof/InnerProductArgument.hs:194-206 square completion)."""
+    rp = fold_mul_kernel(g0x, g0y, g0z, e0x, e0y, e0z, de, se, do, so)
+    g1 = (g1x, g1y, g1z)
+    gx = curve.padd(g1, rp)
+    hy = curve.padd(g1, curve.pneg(rp))
+    return gx + hy
+
+
 _msm_compiled = jax.jit(msm_kernel)
 _fold_compiled = jax.jit(fold_mul_kernel)
+_csq_compiled = jax.jit(complete_square_kernel)
 
 
 def run_msm(px, py, pz, absd, sgn):

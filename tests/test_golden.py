@@ -1,0 +1,60 @@
+"""Golden transcript/proof-byte regression tests.
+
+The reference's determinism contract: identical seeds => identical
+transcripts, proof bytes, and commitment bytes (SURVEY §4; everything is
+derandomized through basisSeed / randomSeed / SHA challenges,
+reference: app/Main.hs:68-87, src/ZKP.hs:90-101).  These digests pin the
+framework's own wire format so any change to the transcript encoding,
+oracle ordering, digit planners, or serialization is caught immediately.
+"""
+
+import hashlib
+
+import test_examples_e2e as ex
+from bulletproofspp_tpu.cli import _resolve_values
+from bulletproofspp_tpu.core import range_proof as rpm
+from bulletproofspp_tpu.core.engine import HostEngine
+from bulletproofspp_tpu.core.transcript import take_points
+from bulletproofspp_tpu.io_ import schema as schema_mod
+
+ENGINE = HostEngine()
+
+GOLDEN = {
+    "32bit": ("49602ab782f3dc35343b615c0f85010e7d050fcd16444dca82b07acaa4fb3c5b",
+              "ddc048e1dd7c0a88bbcadb02cd4f80d3598a45bb90edd8d05c575da4d723b080", 418),
+    "64bit": ("fe39faef84b016b82b017a4ef07ba3f31c5237b0f79c0653376c86f5dbba8c5d",
+              "fd56b4b18729678d4f77a64644771f77ebaf38f686da8523a3fdebcb2d29c8ee", 418),
+    "bin_test": ("a655cf19e486b20d72a123fa07f0abdff9d3abdd6f6b4c4bbe5c3114cdc19c69",
+                 "ec4cf94ed5ada8bd356e990a4b95eb9f338e0d885427f9de0d8488642efe9665", 578),
+    "rec_test": ("0f15a8d96573cbdb9681c9e558dbb9fb5f754706f1309067b31a93749205da23",
+                 "2bfde4f53b614740e97e747d5718b85c4d572b36225ac648dcceabc6f7658413", 546),
+    "32by64": ("e3bac23588ac2d21bdc2e609b9f474748afcd466e425cf9f16bb6cf9c5fa8347",
+               "a0b943d6f35af4c3fc5af52ce0477cb9afeb27ff9e219de0af7692bba1aff0c7", 707),
+}
+
+CASES = {
+    "32bit": (ex.EX_32BIT, ex.WIT_32BIT),
+    "64bit": (ex.EX_64BIT, ex.WIT_64BIT),
+    "bin_test": (ex.EX_BIN, ex.WIT_BIN),
+    "rec_test": (ex.EX_REC, ex.WIT_REC),
+    "32by64": ex.agg_example(32, 64),
+}
+
+
+def _digests(spec_obj, wit):
+    spec = schema_mod.parse_spec(spec_obj)
+    points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    values = _resolve_values(spec, schema_mod.parse_witness(wit))
+    proof = rpm.prove(setup, values, spec.random_seed.encode(), ENGINE)
+    coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)
+    return (
+        hashlib.sha256(proof_bytes).hexdigest(),
+        hashlib.sha256(coms_bytes).hexdigest(),
+        len(proof_bytes),
+    )
+
+
+def test_golden_proof_bytes():
+    for name, (spec_obj, wit) in CASES.items():
+        assert _digests(spec_obj, wit) == GOLDEN[name], name
