@@ -51,7 +51,7 @@ def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BP
     arg = setup.arg_cls.make(
         setup.q, setup.bp_coeffs, wit_nrm, setup.nrm_bases, wit_lin, setup.lin_bases, engine
     )
-    sb = engine.basevec([setup.scalar_base])
+    sb = engine.basevec_cached(setup.scalar_base)
     sc = wit_scalar
     responses = []
     for _ in range(setup.rounds):

@@ -37,6 +37,14 @@ class HostEngine:
     def basevec(self, points):
         return list(points)
 
+    def basevec_cached(self, points):
+        """Accepts a points list, a single affine point, or an existing
+        base vector; host representation is the list itself (no cache
+        needed)."""
+        if isinstance(points, tuple):
+            return [points]
+        return points
+
     def bv_pad(self, bv, m: int):
         return list(bv) + [None] * (m - len(bv))
 

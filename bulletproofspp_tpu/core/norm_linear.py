@@ -84,7 +84,7 @@ class NormNL:
         self.engine = engine
         m = max(len(xs), len(gs))
         self.xs = list(xs) + [Fr(0)] * (m - len(xs))
-        self.gs = engine.bv_pad(engine.basevec(gs), m)
+        self.gs = engine.bv_pad(engine.basevec_cached(gs), m)
         self.q = q
         self.qinv = qinv if qinv is not None else q.inv()
         self.n = n if n is not None else Fr(1)
@@ -145,7 +145,7 @@ class LinearNL:
         m = max(len(cs), len(xs), len(gs))
         self.cs = list(cs) + [Fr(0)] * (m - len(cs))
         self.xs = list(xs) + [Fr(0)] * (m - len(xs))
-        self.gs = engine.bv_pad(engine.basevec(gs), m)
+        self.gs = engine.bv_pad(engine.basevec_cached(gs), m)
         self.n = n if n is not None else Fr(1)
 
     def _halves(self):

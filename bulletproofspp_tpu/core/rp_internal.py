@@ -46,9 +46,13 @@ class RPW:
 
 
 def commit_rpw(engine, w: RPW, g, hs, gs):
-    """sc*g + <lin, hs> + <nrm, gs> (reference: Internal.hs:43-48)."""
-    pairs = [(w.sc, g)] + list(zip(w.lin, hs)) + list(zip(w.nrm, gs))
-    return engine.msm(pairs)
+    """sc*g + <lin, hs> + <nrm, gs> (reference: Internal.hs:43-48).
+
+    Routed through the grouped MSM API so the JAX engine reuses its cached
+    device-resident copies of the (fixed per-setup) basis vectors."""
+    return engine.msm_groups(
+        [([w.sc], engine.basevec_cached(g)), (w.lin, engine.basevec_cached(hs)), (w.nrm, engine.basevec_cached(gs))]
+    )
 
 
 def make_poly_terms(ws, tss):

@@ -136,8 +136,33 @@ class JaxEngine:
             host_below = int(os.environ.get("BPPP_JAX_MIN_LANES", "0"))
         self.host_below = host_below
         self._host = HostEngine()
+        self._bv_cache: dict = {}
 
     # -- base-vector ops -----------------------------------------------------
+    def basevec_cached(self, points):
+        """DevicePoints for a STABLE host-side basis (a setup's base list
+        or a single point); packed once per engine and reused — basis
+        points are fixed per schema (reference: getPoints basis stream,
+        app/Main.hs:68-72), so repacking per commitment is pure waste."""
+        if isinstance(points, DevicePoints):
+            return points
+        if isinstance(points, tuple):  # single affine point
+            key = points
+            pts = [points]
+            check = key
+        else:
+            key = id(points)
+            pts = points
+            check = points
+        hit = self._bv_cache.get(key)
+        # hold a strong reference to the keyed object so a dead list's id
+        # can never be reused for a different basis; identity-check it
+        if hit is not None and hit[0] is check:
+            return hit[1]
+        bv = self.basevec(pts)
+        self._bv_cache[key] = (check, bv)
+        return bv
+
     def basevec(self, points) -> DevicePoints:
         if isinstance(points, DevicePoints):
             return points
