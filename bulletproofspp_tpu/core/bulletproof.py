@@ -56,8 +56,8 @@ def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BP
     responses = []
     for _ in range(setup.rounds):
         s_l, l_groups, s_r, r_groups = arg.make_scalars_coms()
-        ac = engine.msm_groups([([s_l], sb)] + l_groups)
-        bc = engine.msm_groups([([s_r], sb)] + r_groups)
+        # ONE device dispatch for both round commitments (fused L/R MSM)
+        ac, bc = engine.msm_pair([([s_l], sb)] + l_groups, [([s_r], sb)] + r_groups)
         e = Fr(tr.oracle([ac, bc], 1)[0])
         e0, e1 = setup.arg_cls.make_es(e)
         sc = sc + e0 * s_l + e1 * s_r

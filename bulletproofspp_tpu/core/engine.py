@@ -63,6 +63,9 @@ class HostEngine:
             pairs.extend(zip(scalars, bv))
         return self.msm(pairs)
 
+    def msm_pair(self, groups_a, groups_b):
+        return self.msm_groups(groups_a), self.msm_groups(groups_b)
+
     def complete_square(self, r: int, g0s, g1s):
         """Square-completion base transform: (g1 + r*g0, g1 - r*g0) lanes
         (reference: src/Bulletproof/InnerProductArgument.hs:194-206)."""

@@ -155,6 +155,56 @@ def affine_lanes_to_host(xn, yn, inf):
     return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
 
 
+# ---------------------------------------------------------------------------
+# Pallas dispatch: the fused complete-add kernel (ops.pallas_field) is
+# ~2.3x the XLA elementwise path on TPU for wide lane counts.  Enabled on
+# TPU-class backends; BPPP_PALLAS=0/1 overrides.  CPU tests keep XLA.
+# ---------------------------------------------------------------------------
+
+_PALLAS_ENABLED = None
+_PALLAS_MIN = 256  # total lanes below which XLA's fusion wins (dispatch cost)
+_PALLAS_BLOCK = 128
+
+
+def _pallas_enabled() -> bool:
+    global _PALLAS_ENABLED
+    if _PALLAS_ENABLED is None:
+        import os
+
+        flag = os.environ.get("BPPP_PALLAS")
+        if flag is not None:
+            _PALLAS_ENABLED = flag not in ("0", "false", "")
+        else:
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "cpu"
+            _PALLAS_ENABLED = backend not in ("cpu",)
+    return _PALLAS_ENABLED
+
+
+def padd_auto(p, q):
+    """Complete addition routed to the Pallas fused kernel for wide
+    batches (flattening trailing axes and padding to the block size);
+    falls back to the XLA path for small/odd shapes."""
+    total = 1
+    for d in p[0].shape[1:]:
+        total *= d
+    if not _pallas_enabled() or total < _PALLAS_MIN:
+        return padd(p, q)
+    from . import pallas_field
+
+    shape = p[0].shape
+    pad = (-total) % _PALLAS_BLOCK
+    flat = [t.reshape(limb.NLIMB, total) for t in (*p, *q)]
+    if pad:
+        flat = [jnp.pad(t, ((0, 0), (0, pad))) for t in flat]
+    ox, oy, oz = pallas_field.padd_pallas(tuple(flat[:3]), tuple(flat[3:]), block=_PALLAS_BLOCK)
+    if pad:
+        ox, oy, oz = ox[:, :total], oy[:, :total], oz[:, :total]
+    return ox.reshape(shape), oy.reshape(shape), oz.reshape(shape)
+
+
 # GLV endomorphism phi(x,y,z) = (beta*x, y, z) (reference: src/Data/Curve/CM.hs:25-33)
 _BETA = limb.pack_int(ec.BETA)  # numpy: lifted as a jit constant
 

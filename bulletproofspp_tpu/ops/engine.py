@@ -178,9 +178,9 @@ class JaxEngine:
         odd = DevicePoints(bv.x[:, 1::2], bv.y[:, 1::2], bv.z[:, 1::2])
         return even, _dp_pad(odd, len(even))
 
-    def msm_groups(self, groups):
-        """Combined MSM over (scalars, basevec) groups; scalars are host
-        field elements, bases stay device-resident."""
+    def _prep_groups(self, groups, L: int | None = None):
+        """(scalars, basevec) groups -> (px, py, pz, absd, sgn) padded to a
+        lane bucket (>= L when given).  Returns None for an empty MSM."""
         scalars = []
         lanes = []
         for svec, bv in groups:
@@ -209,7 +209,7 @@ class JaxEngine:
             absd, sgn = glv.recode_batch(halves)
         cat = _dp_concat(lanes)
         px, py, pz = _interleave_endo(cat.x, cat.y, cat.z)
-        L = _bucket(absd.shape[1])
+        L = max(_bucket(absd.shape[1]), L or 0)
         pad = L - absd.shape[1]
         if pad:
             z = np.zeros((glv.ROWS, pad), np.uint32)
@@ -219,8 +219,36 @@ class JaxEngine:
             px = jnp.concatenate([px, zx], axis=-1)
             py = jnp.concatenate([py, zy], axis=-1)
             pz = jnp.concatenate([pz, zz], axis=-1)
-        acc = msm.run_msm(px, py, pz, jnp.asarray(absd), jnp.asarray(sgn))
+        return px, py, pz, jnp.asarray(absd), jnp.asarray(sgn)
+
+    def msm_groups(self, groups):
+        """Combined MSM over (scalars, basevec) groups; scalars are host
+        field elements, bases stay device-resident."""
+        prep = self._prep_groups(groups)
+        if prep is None:
+            return None
+        px, py, pz, absd, sgn = prep
+        acc = msm.run_msm(px, py, pz, absd, sgn)
         return curve.to_affine_host(acc)[0]
+
+    def msm_pair(self, groups_a, groups_b):
+        """TWO independent MSMs in ONE device dispatch (vmapped kernel):
+        the prover's per-round L/R commitments are the only blocking
+        host<->device round-trips, so fusing them halves round latency."""
+        pa = self._prep_groups(groups_a)
+        pb = self._prep_groups(groups_b)
+        if pa is None or pb is None:  # degenerate: fall back
+            return self.msm_groups(groups_a), self.msm_groups(groups_b)
+        L = max(pa[0].shape[-1], pb[0].shape[-1])
+        if pa[0].shape[-1] != L:
+            pa = self._prep_groups(groups_a, L)
+        if pb[0].shape[-1] != L:
+            pb = self._prep_groups(groups_b, L)
+        stacked = [jnp.stack([a, b]) for a, b in zip(pa, pb)]
+        acc = msm._msm_pair_compiled(*stacked)  # (2, 16, 1) per coord
+        x, y, z = (jnp.moveaxis(c[..., 0], 0, -1) for c in acc)  # (16, 2)
+        pts = curve.to_affine_host((x, y, z))
+        return pts[0], pts[1]
 
     def complete_square(self, r: int, g0s, g1s):
         """(g1 + r*g0, g1 - r*g0) as device base vectors

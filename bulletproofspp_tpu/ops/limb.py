@@ -146,8 +146,13 @@ def _fold_once(x):
     lo, hi = x[:NLIMB], x[NLIMB:]
     h = hi.shape[0]
     ncols = max(NLIMB, h + 2)
-    t = jnp.zeros((ncols, *x.shape[1:]), U32)
-    t = t.at[:NLIMB].add(lo)
+    # build t from lo directly (a FULL-axis .at[...].add lowers to a
+    # scatter that captures empty index constants, which Pallas kernels
+    # reject); the remaining updates are strictly partial slices
+    if ncols > NLIMB:
+        t = jnp.concatenate([lo, jnp.zeros((ncols - NLIMB, *x.shape[1:]), U32)], axis=0)
+    else:
+        t = lo
     # hi * 977  (each product < 2^26)
     t = t.at[:h].add(hi * _u(C_LOW))
     # hi << 32  (two limbs up)

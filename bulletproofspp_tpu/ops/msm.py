@@ -54,7 +54,7 @@ def _table(px, py, pz):
     ident = (zero, one, zero)
 
     def step(acc, _):
-        nxt = curve.padd(acc, base)
+        nxt = curve.padd_auto(acc, base)
         return nxt, nxt
 
     _, mults = lax.scan(step, base, None, length=7)  # (7, 16, L) per coord
@@ -78,7 +78,7 @@ def _reduce_lanes(sel, width):
         resh = tuple(t.reshape(*t.shape[:-1], groups, radix) for t in sel)
         parts = [tuple(t[..., i] for t in resh) for i in range(radix)]
         while len(parts) > 1:
-            parts = [curve.padd(parts[i], parts[i + 1]) for i in range(0, len(parts), 2)]
+            parts = [curve.padd_auto(parts[i], parts[i + 1]) for i in range(0, len(parts), 2)]
         sel = parts[0]
         width = groups
     return sel
@@ -171,6 +171,7 @@ def complete_square_kernel(g0x, g0y, g0z, e0x, e0y, e0z, g1x, g1y, g1z, de, se, 
 
 
 _msm_compiled = jax.jit(msm_kernel)
+_msm_pair_compiled = jax.jit(jax.vmap(msm_kernel))
 _fold_compiled = jax.jit(fold_mul_kernel)
 _csq_compiled = jax.jit(complete_square_kernel)
 

@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: fused complete point addition.
+
+The XLA path (ops.curve.padd) is a chain of ~40 elementwise field ops; XLA
+fuses aggressively but still materializes intermediates between fusion
+boundaries.  This kernel computes the ENTIRE complete addition (12 field
+muls + additions, Renes–Costello–Batina a=0) for a block of lanes inside
+one Pallas program, so every intermediate limb plane lives in
+VMEM/registers.
+
+Layout notes (pallas_guide): arrays are (16, L) uint32 — the limb axis
+maps to sublanes (16 = 2 x 8 int32 tiles), lanes map to the 128-wide lane
+dimension.  Mosaic restrictions shape the code: no 3-D tensors, no
+reshapes, no dynamic_(update_)slice/scatter — partial-product columns and
+reduction folds are built from static slices + row-padding concatenates
+only; carries are the same Kogge-Stone prefixes as ops.limb.
+
+Correctness is pinned against the XLA path in interpret mode on CPU and
+compiled on the real chip via _pbench/bench.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import limb
+
+NLIMB = limb.NLIMB
+MASK = limb.MASK
+C_LOW = limb.C_LOW
+B3 = 21
+
+_carry = limb._carry  # concat/shift/compare only: Mosaic-safe
+
+
+def _pad_rows(x, before: int, after: int):
+    """Concat-pad along the limb axis (row scatter without scatter ops)."""
+    parts = []
+    if before:
+        parts.append(jnp.zeros((before, x.shape[1]), jnp.uint32))
+    parts.append(x)
+    if after:
+        parts.append(jnp.zeros((after, x.shape[1]), jnp.uint32))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+
+
+def _fold_once(x):
+    """ops.limb._fold_once re-expressed with concat-padding."""
+    K = x.shape[0]
+    if K <= NLIMB:
+        return x
+    lo, hi = x[:NLIMB], x[NLIMB:]
+    h = K - NLIMB
+    ncols = max(NLIMB, h + 2)
+    t = (
+        _pad_rows(lo, 0, ncols - NLIMB)
+        + _pad_rows(hi * jnp.uint32(C_LOW), 0, ncols - h)
+        + _pad_rows(hi, 2, ncols - h - 2)
+    )
+    return _carry(t)
+
+
+def _fold_full(x, n: int):
+    for _ in range(n):
+        x = _fold_once(x)
+    return x[:NLIMB]
+
+
+def _add(a, b):
+    return _fold_full(_carry(a + b), 2)
+
+
+def _make_sub(k2):
+    """limb.sub with the K2 fold constant passed as a kernel input
+    (Pallas kernels may not capture array constants)."""
+
+    def _sub(a, b):
+        w = jnp.uint32(MASK) - b
+        return _fold_full(_carry(a + w + k2), 2)
+
+    return _sub
+
+
+def _mul(a, b):
+    """(16, BL) x (16, BL) -> a*b mod p.  Partial products accumulated as
+    row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors."""
+    bl = a.shape[-1]
+    acc = jnp.zeros((2 * NLIMB, bl), jnp.uint32)
+    for i in range(NLIMB):
+        prod = a[i : i + 1, :] * b  # (16, BL), exact in uint32
+        lo = prod & MASK  # sums of 16 of these stay < 2^20: no overflow
+        hi = prod >> 16
+        acc = acc + _pad_rows(lo, i, NLIMB - i) + _pad_rows(hi, i + 1, NLIMB - i - 1)
+    return _fold_full(_fold_once(acc), 2)
+
+
+def _mul_small(a, k: int):
+    return _fold_full(_carry(a * jnp.uint32(k)), 2)
+
+
+def _padd_body(k2, x1, y1, z1, x2, y2, z2):
+    """RCB complete addition (matches ops.curve.padd op for op)."""
+    m, a, s = _mul, _add, _make_sub(k2)
+    t0 = m(x1, x2)
+    t1 = m(y1, y2)
+    t2 = m(z1, z2)
+    t3 = s(m(a(x1, y1), a(x2, y2)), a(t0, t1))
+    t4 = s(m(a(y1, z1), a(y2, z2)), a(t1, t2))
+    t5 = s(m(a(x1, z1), a(x2, z2)), a(t0, t2))
+    t0_3 = a(a(t0, t0), t0)
+    t2b = _mul_small(t2, B3)
+    z3t = a(t1, t2b)
+    t1m = s(t1, t2b)
+    y3b = _mul_small(t5, B3)
+    x3 = s(m(t3, t1m), m(t4, y3b))
+    y3 = a(m(y3b, t0_3), m(t1m, z3t))
+    z3 = a(m(z3t, t4), m(t0_3, t3))
+    return x3, y3, z3
+
+
+def _kernel(k2, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    r = _padd_body(k2[:], x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
+    ox[:], oy[:], oz[:] = r
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def padd_pallas(p, q, block: int = 512, interpret: bool = False):
+    """Complete addition over (16, L) lanes as a Pallas kernel.
+
+    L must be a multiple of ``block`` (callers pad to lane buckets)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    L = x1.shape[-1]
+    bl = min(block, L)
+    assert L % bl == 0
+    spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    ox, oy, oz = pl.pallas_call(
+        _kernel,
+        grid=(L // bl,),
+        in_specs=[kspec] + [spec] * 6,
+        out_specs=(spec, spec, spec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(k2, x1, y1, z1, x2, y2, z2)
+    return ox, oy, oz
