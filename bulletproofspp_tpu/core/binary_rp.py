@@ -127,7 +127,20 @@ class SetupBRP:
 
     # -- commitment helpers --------------------------------------------------
     def commit(self, engine, w: RPW):
-        return commit_rpw(engine, w, self.g, [self.h0, self.h1], self.gs)
+        return commit_rpw(engine, w, self.g, self._hs(), self.gs)
+
+    def commit_many(self, engine, ws):
+        from .rp_internal import commit_rpw_many
+
+        return commit_rpw_many(engine, ws, self.g, self._hs(), self.gs)
+
+    def _hs(self):
+        # stable list object so engines can cache the packed base vector
+        hs = getattr(self, "_hs_list", None)
+        if hs is None:
+            hs = [self.h0, self.h1]
+            self._hs_list = hs
+        return hs
 
     def info(self):
         """(numRpComs, nrmLen, linLen) (reference: Binary.hs:120)."""
@@ -185,10 +198,11 @@ class SetupBRP:
         """(reference: Binary.hs:171-204). Returns (coms, bp_setup, proof)."""
         arg = self.arg_cls
         n_wits = [RPW(Fr(v), [Fr(bl)], []) for v, bl in values]
-        n_coms = [self.commit(engine, w) for w in n_wits]
         s_bl, l_bl0 = (Fr(v) for v in tr.randoms(2))
         d_wit = RPW(s_bl, [l_bl0, Fr(0)], [Fr(d) for d in ds])
-        d_com = self.commit(engine, d_wit)
+        # all Phase-1 commitments precede ONE oracle call: fuse dispatches
+        coms = self.commit_many(engine, n_wits + [d_wit])
+        n_coms, d_com = coms[:-1], coms[-1]
         q, x, r = (Fr(v) for v in tr.oracle([d_com] + n_coms, 3))
         r_inv = r.inv()
         q_pows = arg.q_powers(q, self.nrm_len)

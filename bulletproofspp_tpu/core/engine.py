@@ -66,6 +66,9 @@ class HostEngine:
     def msm_pair(self, groups_a, groups_b):
         return self.msm_groups(groups_a), self.msm_groups(groups_b)
 
+    def msm_many(self, groups_list):
+        return [self.msm_groups(g) for g in groups_list]
+
     def complete_square(self, r: int, g0s, g1s):
         """Square-completion base transform: (g1 + r*g0, g1 - r*g0) lanes
         (reference: src/Bulletproof/InnerProductArgument.hs:194-206)."""

@@ -45,14 +45,27 @@ class RPW:
         return RPW(s * self.sc, [s * x for x in self.lin], [s * x for x in self.nrm])
 
 
+def _rpw_groups(engine, w: RPW, g, hs, gs):
+    return [
+        ([w.sc], engine.basevec_cached(g)),
+        (w.lin, engine.basevec_cached(hs)),
+        (w.nrm, engine.basevec_cached(gs)),
+    ]
+
+
 def commit_rpw(engine, w: RPW, g, hs, gs):
     """sc*g + <lin, hs> + <nrm, gs> (reference: Internal.hs:43-48).
 
     Routed through the grouped MSM API so the JAX engine reuses its cached
     device-resident copies of the (fixed per-setup) basis vectors."""
-    return engine.msm_groups(
-        [([w.sc], engine.basevec_cached(g)), (w.lin, engine.basevec_cached(hs)), (w.nrm, engine.basevec_cached(gs))]
-    )
+    return engine.msm_groups(_rpw_groups(engine, w, g, hs, gs))
+
+
+def commit_rpw_many(engine, ws, g, hs, gs):
+    """K phase commitments in one engine dispatch (they all precede a
+    single oracle challenge, so fusing them costs nothing semantically
+    and saves K-1 blocking device round-trips)."""
+    return engine.msm_many([_rpw_groups(engine, w, g, hs, gs) for w in ws])
 
 
 def make_poly_terms(ws, tss):

@@ -407,6 +407,11 @@ class SetupTRRP:
     def commit(self, engine, w: RPW):
         return commit_rpw(engine, w, self.g, self.hs, self.gs)
 
+    def commit_many(self, engine, ws):
+        from .rp_internal import commit_rpw_many
+
+        return commit_rpw_many(engine, ws, self.g, self.hs, self.gs)
+
     def info(self):
         return 4, self.nrm_len, self.lin_len
 
@@ -490,11 +495,11 @@ class SetupTRRP:
                 ms_inline.append(Fr(0))
 
         n_wits = [RPW(Fr(v), [Fr(tt), Fr(bl)], []) for (v, tt), bl in values]
-        n_coms = [self.commit(engine, w) for w in n_wits]
         dm_wit = blind_witness(tr, NUM_TERMS, 2, ms_shared, ds)
-        dm_com = self.commit(engine, dm_wit)
         m_wit = blind_witness(tr, NUM_TERMS, 1, [], ms_inline)
-        m_com = self.commit(engine, m_wit)
+        # all Phase-1 commitments precede ONE oracle call: fuse dispatches
+        coms = self.commit_many(engine, n_wits + [dm_wit, m_wit])
+        n_coms, dm_com, m_com = coms[:-2], coms[-2], coms[-1]
 
         e, x, r0 = (Fr(v) for v in tr.oracle([dm_com, m_com] + n_coms, 3))
         e_inv, r0_inv = batch_inverse([e, r0])

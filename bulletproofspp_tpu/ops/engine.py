@@ -235,20 +235,25 @@ class JaxEngine:
         """TWO independent MSMs in ONE device dispatch (vmapped kernel):
         the prover's per-round L/R commitments are the only blocking
         host<->device round-trips, so fusing them halves round latency."""
-        pa = self._prep_groups(groups_a)
-        pb = self._prep_groups(groups_b)
-        if pa is None or pb is None:  # degenerate: fall back
-            return self.msm_groups(groups_a), self.msm_groups(groups_b)
-        L = max(pa[0].shape[-1], pb[0].shape[-1])
-        if pa[0].shape[-1] != L:
-            pa = self._prep_groups(groups_a, L)
-        if pb[0].shape[-1] != L:
-            pb = self._prep_groups(groups_b, L)
-        stacked = [jnp.stack([a, b]) for a, b in zip(pa, pb)]
-        acc = msm._msm_pair_compiled(*stacked)  # (2, 16, 1) per coord
-        x, y, z = (jnp.moveaxis(c[..., 0], 0, -1) for c in acc)  # (16, 2)
-        pts = curve.to_affine_host((x, y, z))
-        return pts[0], pts[1]
+        return tuple(self.msm_many([groups_a, groups_b]))
+
+    def msm_many(self, groups_list):
+        """K independent MSMs in ONE device dispatch (vmapped kernel) —
+        used for range-proof phase commitments that all precede a single
+        oracle call (reference: proveTRRPM Phase1 commits 2+n vectors
+        before one challenge, TypedReciprocal.hs:408-414)."""
+        preps = [self._prep_groups(g) for g in groups_list]
+        if any(p is None for p in preps):  # degenerate: sequential path
+            return [self.msm_groups(g) for g in groups_list]
+        L = max(p[0].shape[-1] for p in preps)
+        preps = [
+            p if p[0].shape[-1] == L else self._prep_groups(g, L)
+            for p, g in zip(preps, groups_list)
+        ]
+        stacked = [jnp.stack(parts) for parts in zip(*preps)]
+        acc = msm._msm_pair_compiled(*stacked)  # (k, 16, 1) per coord
+        x, y, z = (jnp.moveaxis(c[..., 0], 0, -1) for c in acc)  # (16, k)
+        return curve.to_affine_host((x, y, z))
 
     def complete_square(self, r: int, g0s, g1s):
         """(g1 + r*g0, g1 - r*g0) as device base vectors
