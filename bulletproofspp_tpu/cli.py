@@ -125,7 +125,13 @@ def main(argv=None):
             print("Different number of values and ranges", file=sys.stderr)
             return 2
         values = _resolve_values(spec, wobjs)
-        proof = rpm.prove(setup, values, spec.random_seed.encode(), engine)
+        try:
+            proof = rpm.prove(setup, values, spec.random_seed.encode(), engine)
+        except ValueError as e:
+            # e.g. out-of-range amounts or violated conservation (the
+            # reference panics with a message here, app/Main.hs:155-169)
+            print(f"prove failed: {e}", file=sys.stderr)
+            return 2
         if args.verbosity >= 1:
             _verbose_report(setup, proof, args.verbosity)
         if to_verify:
