@@ -27,26 +27,20 @@ import time
 os.environ.setdefault("BPPP_ENGINE", "jax")
 
 
-def _msm_args(pts, scalars):
-    import jax.numpy as jnp
-
-    from bulletproofspp_tpu.core import ec
-    from bulletproofspp_tpu.ops import glv, limb
-    from bulletproofspp_tpu.ops.engine import _msm_lanes
-
-    from bulletproofspp_tpu.ops import curve
-
-    absd, sgn, lane_pts = _msm_lanes(list(zip(scalars, pts)))
-    px, py, pz = curve.from_affine_host(lane_pts)
-    return px, py, pz, jnp.asarray(absd), jnp.asarray(sgn)
-
-
 def bench_msm(n_points: int, iters: int):
+    """Production-shaped measurement: the basis is fixed (packed once and
+    cached, as the engine does for every setup), per-iteration work is
+    fresh scalars -> native GLV digit recode -> device MSM."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from bulletproofspp_tpu.core import ec
     from bulletproofspp_tpu.core.fields import R
+    from bulletproofspp_tpu.ops import curve, glv
+    from bulletproofspp_tpu.ops.engine import _interleave_endo
     from bulletproofspp_tpu.ops.msm import run_msm
+    from bulletproofspp_tpu import native
 
     rng = random.Random(2024)
     pts, p = [], ec.G
@@ -61,16 +55,48 @@ def bench_msm(n_points: int, iters: int):
     ec.msm_host(scalars[:base_n], pts[:base_n])
     host_pps = base_n / (time.perf_counter() - t0)
 
-    argsets = [
-        _msm_args(pts, [rng.randrange(R) for _ in range(n_points)]) for _ in range(iters)
-    ]
+    # one-time basis packing (cached per setup in the engine)
+    x, y, z = curve.from_affine_host(pts)
+    px, py, pz = _interleave_endo(x, y, z)  # endomorphism on device
+    jax.block_until_ready((px, py, pz))
+
+    def digits(seed):
+        r = random.Random(seed)
+        svals = [r.randrange(R) for _ in range(n_points)]
+        nat = native.glv_recode_batch(svals)
+        if nat is None:
+            halves = []
+            for s in svals:
+                k1, k2 = glv.split(s)
+                halves += [k1, k2]
+            nat = glv.recode_batch(halves)
+        return jnp.asarray(nat[0]), jnp.asarray(nat[1])
+
+    argsets = [digits(i) for i in range(iters)]
     jax.block_until_ready(argsets)
-    # warmup/compile
-    jax.block_until_ready(run_msm(*argsets[0]))
+    _ = np.asarray(run_msm(px, py, pz, *argsets[0])[0])  # compile + warm
+    # HONEST timing: materialize every output on host (block_until_ready
+    # alone does not wait for remote execution on the tunneled backend)
     t0 = time.perf_counter()
-    outs = [run_msm(*a) for a in argsets]
-    jax.block_until_ready(outs)
+    for a in argsets:
+        _ = np.asarray(run_msm(px, py, pz, *a)[0])
     dev_s = (time.perf_counter() - t0) / iters
+
+    # end-to-end including per-iteration host scalar pipeline
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _ = np.asarray(run_msm(px, py, pz, *digits(100 + i))[0])
+    e2e_s = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "msm_device_ms": round(dev_s * 1e3, 3),
+                "msm_e2e_with_host_scalar_prep_ms": round(e2e_s * 1e3, 3),
+                "n_points": n_points,
+            }
+        ),
+        file=sys.stderr,
+    )
     return n_points / dev_s, host_pps, dev_s
 
 

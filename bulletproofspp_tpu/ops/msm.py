@@ -101,15 +101,34 @@ def msm_kernel(px, py, pz, absd, sgn):
     rows = absd.shape[0]
     tx, ty2, tz = _table(px, py, pz)
 
-    idx = jnp.broadcast_to(absd[None], (limb.NLIMB, rows, L)).astype(jnp.int32)
-    idxy = jnp.broadcast_to((absd + 9 * sgn)[None], (limb.NLIMB, rows, L)).astype(jnp.int32)
-    selx = jnp.take_along_axis(tx, idx, axis=1)  # (16, ROWS, L)
-    sely = jnp.take_along_axis(ty2, idxy, axis=1)
-    selz = jnp.take_along_axis(tz, idx, axis=1)
+    # digit selection as ONE-HOT masked accumulation, not a gather: TPU
+    # gathers run on the scalar unit and dominate the whole MSM at scale;
+    # 9 (resp. 18 signed) full-width masked adds are pure VPU work
+    def onehot_select(table, idx):
+        n_entries = table.shape[1]
+        acc = jnp.zeros((limb.NLIMB, rows, L), U32)
+        for k in range(n_entries):
+            mask = (idx == k)[None]  # (1, ROWS, L)
+            acc = acc + jnp.where(mask, table[:, k, None, :], jnp.uint32(0))
+        return acc
+
+    idxy = absd + 9 * sgn
+    selx = onehot_select(tx, absd)  # (16, ROWS, L)
+    sely = onehot_select(ty2, idxy)
+    selz = onehot_select(tz, absd)
 
     # tree-reduce over lanes (the reference's per-row serial adds,
     # reference: Commitment.hs:331-335, become log2(L) batched adds)
     sel = _reduce_lanes((selx, sely, selz), L)
+
+    if curve._pallas_enabled():
+        # ONE fused kernel for the whole 33-row accumulation (otherwise
+        # ~165 width-1 point ops of pure dispatch latency)
+        from . import pallas_field
+
+        rx, ry, rz = (t[..., 0] for t in sel)  # (16, ROWS)
+        return pallas_field.horner_pallas(rx, ry, rz)
+
     rows = tuple(jnp.moveaxis(t[..., :1], 1, 0) for t in sel)  # (ROWS, 16, 1)
 
     def horner(acc, row):

@@ -122,9 +122,80 @@ def _padd_body(k2, x1, y1, z1, x2, y2, z2):
     return x3, y3, z3
 
 
+def _pdbl_body(k2, x, y, z):
+    """RCB complete doubling (matches ops.curve.pdbl op for op)."""
+    m, a, s = _mul, _add, _make_sub(k2)
+    t0 = m(y, y)
+    z3 = a(t0, t0)
+    z3 = a(z3, z3)
+    z3 = a(z3, z3)
+    t1 = m(y, z)
+    t2 = _mul_small(m(z, z), B3)
+    x3 = m(t2, z3)
+    y3 = a(t0, t2)
+    z3 = m(t1, z3)
+    t1 = a(t2, t2)
+    t2 = a(t1, t2)
+    t0 = s(t0, t2)
+    y3 = a(x3, m(t0, y3))
+    x3 = m(t0, m(x, y))
+    x3 = a(x3, x3)
+    return x3, y3, z3
+
+
 def _kernel(k2, x1, y1, z1, x2, y2, z2, ox, oy, oz):
     r = _padd_body(k2[:], x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
     ox[:], oy[:], oz[:] = r
+
+
+# ---------------------------------------------------------------------------
+# Fused Horner: the MSM's 33-row accumulation (4 doublings + 1 add per
+# row at width 1) is ~165 point ops of tiny width — dispatch/latency
+# noise as XLA ops.  One Pallas program runs the whole loop in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _horner_kernel(k2, rx, ry, rz, ox, oy, oz):
+    rows = rx.shape[-1]
+    k2v = k2[:]
+    rxv, ryv, rzv = rx[:], ry[:], rz[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rxv.shape, 1)
+
+    def pick(v, r):
+        # dynamic LANE indexing is not lowerable on Mosaic (must be a
+        # multiple of 128); a masked reduction over the 33 lanes is
+        # Mosaic lacks unsigned reductions; limbs are < 2^16 so the int32
+        # round-trip is exact
+        masked = jnp.where(lane == r, v, jnp.uint32(0)).astype(jnp.int32)
+        return jnp.sum(masked, axis=1, keepdims=True, dtype=jnp.int32).astype(jnp.uint32)
+
+    def body(r, acc):
+        x, y, z = acc
+        for _ in range(4):
+            x, y, z = _pdbl_body(k2v, x, y, z)
+        return _padd_body(k2v, x, y, z, pick(rxv, r), pick(ryv, r), pick(rzv, r))
+
+    zero = jnp.zeros((NLIMB, 1), jnp.uint32)
+    one = jnp.concatenate([jnp.ones((1, 1), jnp.uint32), jnp.zeros((NLIMB - 1, 1), jnp.uint32)], 0)
+    acc = jax.lax.fori_loop(0, rows, body, (zero, one, zero))
+    ox[:], oy[:], oz[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def horner_pallas(rx, ry, rz, interpret: bool = False):
+    """Full Horner accumulation: inputs (16, ROWS) row sums MSB-first,
+    output (16, 1) projective accumulator.  ONE kernel launch for what is
+    otherwise ~165 tiny point ops."""
+    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    return pl.pallas_call(
+        _horner_kernel,
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(k2, rx, ry, rz)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
