@@ -167,7 +167,7 @@ def bench_proofs():
 
 
 def main():
-    n_points = int(os.environ.get("BENCH_MSM_POINTS", "2048"))
+    n_points = int(os.environ.get("BENCH_MSM_POINTS", "16384"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     pps, host_pps, dev_s = bench_msm(n_points, iters)
     if os.environ.get("BENCH_FULL"):
