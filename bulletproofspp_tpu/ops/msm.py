@@ -39,6 +39,12 @@ from .glv import ROWS
 U32 = jnp.uint32
 
 
+def _fused_enabled() -> bool:
+    import os
+
+    return os.environ.get("BPPP_FUSED_MSM", "") not in ("", "0", "false")
+
+
 def _table(px, py, pz):
     """Projective lanes (16, L) -> multiple tables (16, 9, L) for 0P..8P,
     plus the Y table extended with negated entries: (16, 18, L).
@@ -99,6 +105,17 @@ def msm_kernel(px, py, pz, absd, sgn):
     """
     L = px.shape[-1]
     rows = absd.shape[0]
+
+    if _fused_enabled() and curve._pallas_enabled() and L == 128 and rows == ROWS:
+        # proof-sized MSMs: the ENTIRE pipeline in one Pallas launch
+        # (rows*L = 33*128 keeps every lane width 128-aligned for Mosaic).
+        # Opt-in (BPPP_FUSED_MSM=1): device-side it beats the multi-launch
+        # path, but the one-time Mosaic compile is ~10 minutes and through
+        # the measurement tunnel both are RTT-bound anyway.
+        from . import pallas_field
+
+        return pallas_field.msm_fused_pallas(px, py, pz, absd, sgn)
+
     tx, ty2, tz = _table(px, py, pz)
 
     # digit selection as ONE-HOT masked accumulation, not a gather: TPU

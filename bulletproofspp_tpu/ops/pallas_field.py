@@ -181,6 +181,101 @@ def _horner_kernel(k2, rx, ry, rz, ox, oy, oz):
     ox[:], oy[:], oz[:] = acc
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused small MSM: table build + one-hot select + in-row tree
+# reduction + Horner, ALL in one Pallas program.  Proof-sized MSMs
+# (<= 128 lanes) otherwise pay ~12 kernel launches of fixed latency;
+# this runs the whole thing in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _msm_fused_kernel(rows, k2, px, py, pz, dflat_ref, sflat_ref, ox, oy, oz):
+    # digits arrive PRE-FLATTENED (1, rows*L) — sublane->lane reshapes are
+    # not lowerable inside Mosaic
+    k2v = k2[:]
+    bx, by, bz = px[:], py[:], pz[:]  # (16, L)
+    L = bx.shape[-1]
+    dflat = dflat_ref[:]
+    sflat = sflat_ref[:]
+    idx = dflat + 9 * sflat
+
+    # multiple tables 0P..8P at width L (7 unrolled complete adds)
+    zero = jnp.zeros((NLIMB, L), jnp.uint32)
+    one = jnp.concatenate(
+        [jnp.ones((1, L), jnp.uint32), jnp.zeros((NLIMB - 1, L), jnp.uint32)], 0
+    )
+    entries = [(zero, one, jnp.zeros((NLIMB, L), jnp.uint32)), (bx, by, bz)]
+    acc = (bx, by, bz)
+    for _ in range(7):
+        acc = _padd_body(k2v, *acc, bx, by, bz)
+        entries.append(acc)
+
+    # one-hot select into (16, rows*L); Y from the sign-extended table
+    def tile(t):  # (16, L) -> (16, rows*L)
+        return jnp.concatenate([t] * rows, axis=1)
+
+    selx = jnp.zeros((NLIMB, rows * L), jnp.uint32)
+    sely = jnp.zeros((NLIMB, rows * L), jnp.uint32)
+    selz = jnp.zeros((NLIMB, rows * L), jnp.uint32)
+    for k in range(9):
+        ex, ey, ez = entries[k]
+        mx = (dflat == k)
+        selx = selx + jnp.where(mx, tile(ex), jnp.uint32(0))
+        selz = selz + jnp.where(mx, tile(ez), jnp.uint32(0))
+        ney = _make_sub(k2v)(jnp.zeros_like(ey), ey)
+        sely = sely + jnp.where(idx == k, tile(ey), jnp.uint32(0))
+        sely = sely + jnp.where(idx == k + 9, tile(ney), jnp.uint32(0))
+
+    # in-row tree reduction: fixed-width shift-add; partners stay within a
+    # row (i + s < 2s <= L for i < s), garbage lanes are never read
+    sel = (selx, sely, selz)
+    width = rows * L
+    shift = L // 2
+    while shift >= 1:
+        # pltpu.roll requires a non-negative shift: roll by width - shift
+        # is the same circular shift as -shift
+        rolled = tuple(pltpu.roll(t, width - shift, 1) for t in sel)
+        sel = _padd_body(k2v, *sel, *rolled)
+        shift //= 2
+
+    # Horner over rows: row sum r lives at lane r*L
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NLIMB, rows * L), 1)
+
+    def pick(v, r):
+        masked = jnp.where(lane == r * L, v, jnp.uint32(0)).astype(jnp.int32)
+        return jnp.sum(masked, axis=1, keepdims=True, dtype=jnp.int32).astype(jnp.uint32)
+
+    def body(r, acc):
+        x, y, z = acc
+        for _ in range(4):
+            x, y, z = _pdbl_body(k2v, x, y, z)
+        return _padd_body(k2v, x, y, z, pick(sel[0], r), pick(sel[1], r), pick(sel[2], r))
+
+    z1 = jnp.zeros((NLIMB, 1), jnp.uint32)
+    o1 = jnp.concatenate([jnp.ones((1, 1), jnp.uint32), jnp.zeros((NLIMB - 1, 1), jnp.uint32)], 0)
+    accp = jax.lax.fori_loop(0, rows, body, (z1, o1, z1))
+    ox[:], oy[:], oz[:] = accp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def msm_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
+    """Whole-MSM single-launch kernel for small lane counts (L a power of
+    two, rows*L lanes in VMEM).  Returns projective (16, 1) coords."""
+    rows, L = absd.shape
+    dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
+    sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
+    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    return pl.pallas_call(
+        functools.partial(_msm_fused_kernel, rows),
+        in_specs=[spec] * 6,
+        out_specs=(spec, spec, spec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(k2, px, py, pz, dflat, sflat)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def horner_pallas(rx, ry, rz, interpret: bool = False):
     """Full Horner accumulation: inputs (16, ROWS) row sums MSB-first,
