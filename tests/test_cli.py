@@ -1,0 +1,85 @@
+"""CLI end-to-end: test mode, exit codes, tampered proofs, and the
+points.bin cache round trip (reference: app/Main.hs:132-152, 261-263)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPEC = {
+    "basisSeed": "test points",
+    "ranges": [{"base": 9, "min": 0, "max": 4294967296, "isOutput": True}],
+}
+WIT = [{"amount": 10000}]
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["BPPP_ENGINE"] = "host"
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "bulletproofspp_tpu.cli", *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    (tmp_path / "schema.json").write_text(json.dumps(SPEC))
+    (tmp_path / "witness.json").write_text(json.dumps(WIT))
+    return tmp_path
+
+
+def test_cli_test_mode(workdir):
+    r = _run(["test", "schema.json", "witness.json"], workdir)
+    assert r.returncode == 0, r.stderr
+    assert "In-process verify: True" in r.stdout
+    assert "Proof from file: True" in r.stdout
+    assert (workdir / "proof.bin").stat().st_size == 418
+
+
+def test_cli_rejects_tampered_proof(workdir):
+    assert _run(["prove", "schema.json", "witness.json"], workdir).returncode == 0
+    data = bytearray((workdir / "proof.bin").read_bytes())
+    data[50] ^= 1
+    (workdir / "proof.bin").write_bytes(bytes(data))
+    r = _run(["verify", "schema.json", "commits.bin", "proof.bin"], workdir)
+    assert r.returncode == 1
+    assert "False" in r.stdout
+
+
+def test_cli_witness_count_mismatch(workdir):
+    (workdir / "witness.json").write_text(json.dumps([{"amount": 1}, {"amount": 2}]))
+    r = _run(["prove", "schema.json", "witness.json"], workdir)
+    assert r.returncode == 2
+
+
+def test_cli_out_of_range_clean_error(workdir):
+    (workdir / "witness.json").write_text(json.dumps([{"amount": 2**40}]))
+    r = _run(["prove", "schema.json", "witness.json"], workdir)
+    assert r.returncode == 2
+    assert "prove failed" in r.stderr
+
+
+def test_cli_points_file_roundtrip(workdir):
+    # write the basis cache, then re-prove reading points from the file
+    r = _run(["prove", "schema.json", "witness.json", "--write-points", "20"], workdir)
+    assert r.returncode == 0
+    assert (workdir / "points.bin").exists()
+    proof1 = (workdir / "proof.bin").read_bytes()
+    spec2 = dict(SPEC)
+    del spec2["basisSeed"]
+    spec2["basisFile"] = "points.bin"
+    (workdir / "schema2.json").write_text(json.dumps(spec2))
+    r = _run(["test", "schema2.json", "witness.json", "commits2.bin", "proof2.bin"], workdir)
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert (workdir / "proof2.bin").read_bytes() == proof1
