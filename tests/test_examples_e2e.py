@@ -136,6 +136,14 @@ def test_64by64_aggregated():
     run_example(spec, wit)
 
 
+@pytest.mark.slow
+def test_128by64_aggregated():
+    # the reference's largest example (examples/128by64): 128 shared-digit
+    # 64-bit ranges, NL argument
+    spec, wit = agg_example(128, 256)
+    run_example(spec, wit)
+
+
 def test_conservation_violation_rejected():
     spec = schema_mod.parse_spec(EX_REC)
     points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))

@@ -64,3 +64,25 @@ def test_engine_uses_native_and_matches_host():
     want = HostEngine().msm(pairs)
     got = JaxEngine(host_below=0).msm(pairs)
     assert got == want
+
+
+@pytest.mark.slow
+def test_msm_pair_and_many_match_host():
+    """The fused multi-MSM dispatches must agree with the host engine."""
+    import random as _r
+
+    from bulletproofspp_tpu.core import ec
+    from bulletproofspp_tpu.core.engine import HostEngine
+    from bulletproofspp_tpu.ops.engine import JaxEngine
+
+    rng2 = _r.Random(123)
+    pts, p = [], ec.G
+    for _ in range(7):
+        pts.append(p)
+        p = ec.dbl(p)
+    host, dev = HostEngine(), JaxEngine(host_below=0)
+    ga = [([rng2.randrange(R) for _ in range(4)], pts[:4])]
+    gb = [([rng2.randrange(R) for _ in range(3)], pts[4:])]
+    gc = [([rng2.randrange(R) for _ in range(7)], pts)]
+    assert dev.msm_pair(ga, gb) == host.msm_pair(ga, gb)
+    assert dev.msm_many([ga, gb, gc]) == host.msm_many([ga, gb, gc])
