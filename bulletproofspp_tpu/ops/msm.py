@@ -9,12 +9,13 @@ for the TPU execution model:
     129-row Eisenstein digit MSM, but with 4-bit signed digits and 33 rows;
   * per lane, a 9-entry multiple table [0P..8P] is built with 7 batched
     complete additions (ops.curve.padd — branchless, identity-safe);
-  * digit selection is a static-shape gather; digit signs select from a
+  * digit selection is ONE-HOT masked accumulation (TPU gathers execute
+    on the scalar unit and dominate at scale); signs select from a
     pre-negated table (no data-dependent control flow anywhere);
   * the row×lane selected points are tree-reduced over lanes (log2 L
     batched adds — the per-row reduction the reference does serially), and
-    the 33 row sums are Horner-combined with 4 doublings per row under
-    ``lax.scan``.
+    the 33 row sums are Horner-combined in a single fused Pallas kernel
+    (falling back to ``lax.scan`` off-TPU).
 
 Work: ~L*(33 + 8) complete adds per MSM of L lanes — Pippenger-class for
 the proof-sized MSMs here, with zero data-dependent shapes.

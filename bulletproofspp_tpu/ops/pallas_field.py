@@ -14,8 +14,9 @@ reshapes, no dynamic_(update_)slice/scatter — partial-product columns and
 reduction folds are built from static slices + row-padding concatenates
 only; carries are the same Kogge-Stone prefixes as ops.limb.
 
-Correctness is pinned against the XLA path in interpret mode on CPU and
-compiled on the real chip via _pbench/bench.
+Correctness is pinned against the exact host engine in interpret mode on
+CPU (tests/test_pallas.py) and exercised compiled on the real chip by the
+production MSM path.
 """
 
 from __future__ import annotations
