@@ -86,3 +86,42 @@ def test_msm_pair_and_many_match_host():
     gc = [([rng2.randrange(R) for _ in range(7)], pts)]
     assert dev.msm_pair(ga, gb) == host.msm_pair(ga, gb)
     assert dev.msm_many([ga, gb, gc]) == host.msm_many([ga, gb, gc])
+
+
+@pytest.mark.slow
+def test_engine_fuzz_equivalence():
+    """Randomized MSM/fold/shared_mul instances: device engine must agree
+    with the exact host engine on mixed sizes, zero scalars, None points,
+    duplicated points, and boundary scalars."""
+    import random as _r
+
+    from bulletproofspp_tpu.core import ec
+    from bulletproofspp_tpu.core.engine import HostEngine
+    from bulletproofspp_tpu.ops.engine import JaxEngine
+
+    rng2 = _r.Random(2025)
+    host, dev = HostEngine(), JaxEngine(host_below=0)
+    pool = [ec.scalar_mul(rng2.randrange(1, R), ec.G) for _ in range(12)]
+
+    for trial in range(6):
+        n = rng2.choice([1, 2, 3, 5, 9, 14])
+        pts = [rng2.choice(pool + [None]) for _ in range(n)]
+        scal = [
+            rng2.choice([0, 1, R - 1, R, rng2.randrange(R), rng2.randrange(R)])
+            for _ in range(n)
+        ]
+        pairs = list(zip(scal, pts))
+        assert dev.msm(pairs) == host.msm(pairs), (trial, "msm")
+
+    for trial in range(3):
+        n = rng2.choice([1, 3, 6])
+        ge = [rng2.choice(pool) for _ in range(n)]
+        go = [rng2.choice(pool + [None]) for _ in range(n)]
+        b = rng2.randrange(-(2**128), 2**128)
+        a = rng2.randrange(-(2**128), 2**128)
+        got = dev.fold_bv(b, a, ge, go)
+        want = host.fold_bv(b, a, ge, go)
+        assert got.to_host()[: len(want)] == want, (trial, "fold")
+
+    k = rng2.randrange(R)
+    assert dev.shared_mul(k, pool[:4]) == host.shared_mul(k, pool[:4])
