@@ -161,9 +161,11 @@ def affine_lanes_to_host(xn, yn, inf):
 # TPU-class backends; BPPP_PALLAS=0/1 overrides.  CPU tests keep XLA.
 # ---------------------------------------------------------------------------
 
+import os as _os
+
 _PALLAS_ENABLED = None
 _PALLAS_MIN = 256  # total lanes below which XLA's fusion wins (dispatch cost)
-_PALLAS_BLOCK = 128
+_PALLAS_BLOCK = int(_os.environ.get("BPPP_PALLAS_BLOCK", "128"))
 
 
 def _pallas_enabled() -> bool:
