@@ -166,20 +166,67 @@ def _fold_full(x, n_folds: int):
     return x[:NLIMB]
 
 
+def _lazy_fold(x):
+    """_fold_once WITHOUT the carry pass: fold limbs >= 16 into the low
+    part, leaving lazy (un-carried) limbs.  Callers must prove the uint32
+    bound: each output limb < input_limb_bound * 979 (+ prior lazies)."""
+    K = x.shape[0]
+    if K <= NLIMB:
+        return x
+    lo, hi = x[:NLIMB], x[NLIMB:]
+    h = K - NLIMB
+    ncols = max(NLIMB, h + 2)
+    if ncols > NLIMB:
+        t = jnp.concatenate([lo, jnp.zeros((ncols - NLIMB, *x.shape[1:]), U32)], axis=0)
+    else:
+        t = lo
+    t = t.at[:h].add(hi * _u(C_LOW))
+    t = t.at[2 : h + 2].add(hi)
+    return t
+
+
+def _fold_tail(c):
+    """Final reduction of a CARRIED (17, ...) value known to be
+    < 2^256 + 2^80: the top limb o is {0,1} and, when o = 1, the low part
+    is < 2^80 (limbs >= 5 are zero).  Folding o*C therefore ripples only
+    within the first 6 limbs — one cheap 6-limb carry instead of a full
+    pass.  Returns (16, ...) fully carried limbs < 2^256."""
+    o = c[NLIMB : NLIMB + 1]
+    zero1 = jnp.zeros_like(o)
+    extra = jnp.concatenate([o * _u(C_LOW), zero1, o, zero1, zero1, zero1], axis=0)
+    head = _carry(c[:6] + extra)  # (7, ...): top row provably 0
+    return jnp.concatenate([head[:6], c[6:NLIMB]], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Ring ops
 # ---------------------------------------------------------------------------
+
+
+def _fold_top_lazy(c, top_bound_pow: int):
+    """Fold a carried (17, ...) value's top limb as a LAZY add of top*C
+    (no carry); caller feeds the result to one more _carry.  Valid while
+    977*top + prior limb values stay < 2^32 (top < 2^{top_bound_pow})."""
+    assert 10 + top_bound_pow < 32
+    o = c[NLIMB : NLIMB + 1]
+    zero1 = jnp.zeros_like(o)
+    extra = jnp.concatenate(
+        [o * _u(C_LOW), zero1, o] + [zero1] * (NLIMB - 3), axis=0
+    )
+    return c[:NLIMB] + extra
 
 
 @jax.jit
 def add(a, b):
     """a + b mod p; carried-limb in, carried-limb out (< 2^256).
 
-    Carry count is provably sufficient: after the first carry the top limb
-    is in {0,1}; after folding it the top can only re-carry when the low
-    part is < C, so the second fold's carry-out is 0.
+    Chain: one full carry (top in {0,1}), lazy top-fold, one full carry
+    (top in {0,1} with a tiny low part), 6-limb tail fold.  Two full
+    Kogge-Stone passes instead of three.
     """
-    return _fold_full(_carry(a + b), 2)
+    c1 = _carry(a + b)
+    c2 = _carry(_fold_top_lazy(c1, 2))
+    return _fold_tail(c2)
 
 
 # limbs of 2p - 2^256 + 1 (so that a + ~b + K2 == a - b + 2p); kept as
@@ -206,8 +253,9 @@ def sub(a, b):
     _K2 = jnp.asarray(_k2(), U32)
     w = _u(MASK) - b  # exact: b limbs < 2^16
     k2 = _K2.reshape(NLIMB, *([1] * (a.ndim - 1)))
-    t = _carry(a + w + k2)  # value a - b + 2p < 3*2^256: top limb <= 2
-    return _fold_full(t, 2)
+    c1 = _carry(a + w + k2)  # value a - b + 2p < 3*2^256: top limb <= 2
+    c2 = _carry(_fold_top_lazy(c1, 2))
+    return _fold_tail(c2)
 
 
 def neg(a):
@@ -238,10 +286,12 @@ def mul(a, b):
     cols = jnp.zeros((2 * NLIMB, *batch), U32)
     cols = cols.at[: 2 * NLIMB - 1].add(cols_lo)
     cols = cols.at[1 : 2 * NLIMB].add(cols_hi)
-    # fold the UNCARRIED columns first (cols < 2^21, so 979*cols < 2^32):
-    # saves one full carry pass; then two folds suffice (the second fold's
-    # carry-out is 0 because a set top limb implies a tiny low part).
-    return _fold_full(_fold_once(cols), 2)
+    # BOTH reduction folds run lazily on un-carried columns (cols < 2^21,
+    # so two stacked folds stay < 2*979*2^21 < 2^32), then ONE full carry
+    # and the cheap 6-limb tail fold: 1 Kogge-Stone pass instead of 3.
+    t1 = _lazy_fold(cols)  # 18 lazy limbs < 979*2^21
+    t2 = _lazy_fold(t1)  # 16 lazy limbs < 2*979*2^21
+    return _fold_tail(_carry(t2))
 
 
 def sqr(a):
@@ -254,8 +304,9 @@ from functools import partial
 @partial(jax.jit, static_argnums=1)
 def mul_small(a, k: int):
     """a * k mod p for a small host constant 0 <= k < 2^15."""
-    t = _carry(a * _u(k))
-    return _fold_full(t, 2)
+    c1 = _carry(a * _u(k))  # top limb < 2^15
+    c2 = _carry(_fold_top_lazy(c1, 15))
+    return _fold_tail(c2)
 
 
 @jax.jit

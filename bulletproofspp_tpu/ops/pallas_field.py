@@ -49,30 +49,38 @@ def _pad_rows(x, before: int, after: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
 
 
-def _fold_once(x):
-    """ops.limb._fold_once re-expressed with concat-padding."""
+def _lazy_fold(x):
+    """Fold limbs >= 16 into the low part WITHOUT carrying (bounds proven
+    at call sites; see ops.limb._lazy_fold) — concat-padding only."""
     K = x.shape[0]
     if K <= NLIMB:
         return x
     lo, hi = x[:NLIMB], x[NLIMB:]
     h = K - NLIMB
     ncols = max(NLIMB, h + 2)
-    t = (
+    return (
         _pad_rows(lo, 0, ncols - NLIMB)
         + _pad_rows(hi * jnp.uint32(C_LOW), 0, ncols - h)
         + _pad_rows(hi, 2, ncols - h - 2)
     )
-    return _carry(t)
 
 
-def _fold_full(x, n: int):
-    for _ in range(n):
-        x = _fold_once(x)
-    return x[:NLIMB]
+def _fold_top_lazy(c):
+    """Lazy fold of a carried (17, ...) top limb (see ops.limb)."""
+    o = c[NLIMB : NLIMB + 1]
+    return c[:NLIMB] + _pad_rows(o * jnp.uint32(C_LOW), 0, NLIMB - 1) + _pad_rows(o, 2, NLIMB - 3)
+
+
+def _fold_tail(c):
+    """6-limb tail fold of a carried value < 2^256 + 2^80 (see ops.limb)."""
+    o = c[NLIMB : NLIMB + 1]
+    extra = _pad_rows(o * jnp.uint32(C_LOW), 0, 5) + _pad_rows(o, 2, 3)
+    head = _carry(c[:6] + extra)  # (7, ...): top row provably 0
+    return jnp.concatenate([head[:6], c[6:NLIMB]], axis=0)
 
 
 def _add(a, b):
-    return _fold_full(_carry(a + b), 2)
+    return _fold_tail(_carry(_fold_top_lazy(_carry(a + b))))
 
 
 def _make_sub(k2):
@@ -81,14 +89,16 @@ def _make_sub(k2):
 
     def _sub(a, b):
         w = jnp.uint32(MASK) - b
-        return _fold_full(_carry(a + w + k2), 2)
+        return _fold_tail(_carry(_fold_top_lazy(_carry(a + w + k2))))
 
     return _sub
 
 
 def _mul(a, b):
     """(16, BL) x (16, BL) -> a*b mod p.  Partial products accumulated as
-    row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors."""
+    row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors;
+    BOTH reduction folds stack lazily (< 2*979*2^21 < 2^32), so the whole
+    mul needs ONE full Kogge-Stone pass plus the 6-limb tail fold."""
     bl = a.shape[-1]
     acc = jnp.zeros((2 * NLIMB, bl), jnp.uint32)
     for i in range(NLIMB):
@@ -96,11 +106,11 @@ def _mul(a, b):
         lo = prod & MASK  # sums of 16 of these stay < 2^20: no overflow
         hi = prod >> 16
         acc = acc + _pad_rows(lo, i, NLIMB - i) + _pad_rows(hi, i + 1, NLIMB - i - 1)
-    return _fold_full(_fold_once(acc), 2)
+    return _fold_tail(_carry(_lazy_fold(_lazy_fold(acc))))
 
 
 def _mul_small(a, k: int):
-    return _fold_full(_carry(a * jnp.uint32(k)), 2)
+    return _fold_tail(_carry(_fold_top_lazy(_carry(a * jnp.uint32(k)))))
 
 
 def _padd_body(k2, x1, y1, z1, x2, y2, z2):
