@@ -67,10 +67,12 @@ def _resolve_values(spec, witness_objs):
     return out
 
 
-def _verbose_report(setup, proof, level: int):
+def _verbose_report(setup, proof, level: int, values=None, seed=None, engine=None):
     """Verbose mode (the reference's ``runVerbose`` re-runs the protocol
     printing intermediate scalars and commitment counts,
-    reference: app/Main.hs:214-239): structural report + engine metrics."""
+    reference: app/Main.hs:214-239): structural report + engine metrics,
+    and at level >= 2 a protocol re-run printing the per-round
+    ``eval_scalar`` invariant of the collapsing argument witness."""
     from . import metrics
 
     n_rp, nrm_len, lin_len = setup.info()
@@ -82,8 +84,35 @@ def _verbose_report(setup, proof, level: int):
     if level >= 2:
         for i, s in enumerate(proof.bp.wit_scalars):
             print(f"  wit[{i}] = {int(s)}")
+        if values is not None:
+            _verbose_rerun(setup, values, seed, engine)
         snap = metrics.snapshot()
         print(f"engine metrics: {snap['counters']}")
+
+
+def _verbose_rerun(setup, values, seed, engine):
+    """Re-run the prover printing per-round argument invariants, as the
+    reference's runVerbose does (app/Main.hs:214-239): at each round the
+    collapsed witness's evaluated scalar (|x|^2_q + <c,l>) is printed next
+    to the tracked opening scalar so a diverging fold is visible at the
+    exact round it happens."""
+    from .core import bulletproof
+
+    def trace(i, e, sc, arg):
+        label = "initial witness" if i < 0 else f"round {i} (e={int(e)})"
+        print(f"  {label}: tracked scalar={int(sc)} evalScalar={int(arg.eval_scalar())}")
+
+    wit = setup.witness(values)
+    if wit is None:
+        return
+    from .core.transcript import Transcript
+
+    bulletproof.set_round_trace(trace)
+    try:
+        print("verbose protocol re-run:")
+        setup.prove(Transcript(seed), engine, values, wit)
+    finally:
+        bulletproof.set_round_trace(None)
 
 
 def main(argv=None):
@@ -133,7 +162,8 @@ def main(argv=None):
             print(f"prove failed: {e}", file=sys.stderr)
             return 2
         if args.verbosity >= 1:
-            _verbose_report(setup, proof, args.verbosity)
+            _verbose_report(setup, proof, args.verbosity,
+                            values, spec.random_seed.encode(), engine)
         if to_verify:
             ok = rpm.verify(setup, proof, engine)
             print(f"In-process verify: {ok}")

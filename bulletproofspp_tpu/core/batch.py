@@ -8,10 +8,15 @@ This module implements it as the flagship multi-chip workload (SURVEY §2:
 sharded across a pod slice").
 
 Soundness: each proof's zero-check MSM Z_i must be the identity; checking
-sum_i rho_i * Z_i == identity for independent uniform rho_i accepts a batch
-containing an invalid proof with probability 1/r.  Scalars for repeated
-basis points are merged on host so the combined MSM stays near the size of
-a single verification for same-schema batches.
+sum_i rho_i * Z_i == identity for rho_i that are unpredictable *to the
+prover* accepts a batch containing an invalid proof with probability 1/r.
+The rho_i are therefore derived Fiat-Shamir style from a hash over the
+serialized bytes of EVERY proof in the batch (plus an optional caller
+seed): an adversary contributing proofs to the batch cannot choose error
+terms E_i with sum(rho_i * E_i) == identity without predicting rhos that
+depend on its own final proof bytes.  Scalars for repeated basis points
+are merged on host so the combined MSM stays near the size of a single
+verification for same-schema batches.
 """
 
 from __future__ import annotations
@@ -23,12 +28,31 @@ from .fields import R
 from .transcript import Transcript, decode_scalar
 
 
-def _rhos(n: int, seed: bytes):
-    """Deterministic verifier randomness for the linear combination (any
-    unpredictable-to-the-prover source works; a seeded hash keeps runs
-    reproducible)."""
+def _batch_digest(items, seed: bytes) -> bytes:
+    """SHA-256 over the serialized bytes of every proof in the batch.
+
+    Binding the linear-combination weights to the full batch contents is
+    what makes them verifier randomness in the Fiat-Shamir sense; a fixed
+    or index-only seed would be predictable to the prover (any prover
+    contributing >= 2 proofs could then cancel invalid terms)."""
+    from .range_proof import encode_proof
+
+    h = hashlib.sha256(b"bppp batch rlc v1")
+    h.update(seed)
+    h.update(len(items).to_bytes(8, "big"))
+    for setup, rp in items:
+        coms_bytes, proof_bytes = encode_proof(setup, rp)
+        h.update(len(coms_bytes).to_bytes(8, "big"))
+        h.update(coms_bytes)
+        h.update(len(proof_bytes).to_bytes(8, "big"))
+        h.update(proof_bytes)
+    return h.digest()
+
+
+def _rhos(n: int, digest: bytes):
+    """Per-proof weights rho_i = H(batch digest, i), forced odd (nonzero)."""
     return [
-        decode_scalar(hashlib.sha256(b"batch " + seed + str(i).encode()).digest(), R) | 1
+        decode_scalar(hashlib.sha256(b"batch " + digest + str(i).encode()).digest(), R) | 1
         for i in range(n)
     ]
 
@@ -40,7 +64,7 @@ def collect_pairs(setup, rp):
     coms = list(rp.rp_coms) + list(rp.input_coms)
     try:
         bp_setup = setup.verify_setup(tr, coms)
-    except ValueError:
+    except (ValueError, TypeError, IndexError):
         return None
     return verify_bp_pairs(tr, bp_setup, rp.bp)
 
@@ -54,12 +78,18 @@ def batch_verify(items, engine=None, seed: bytes = b"") -> bool:
     items = list(items)
     if not items:
         return True
-    rhos = _rhos(len(items), seed)
-    merged: dict = {}
-    for rho, (setup, rp) in zip(rhos, items):
+    # structural validation of every proof FIRST (a malformed proof must
+    # reject the batch, and must do so before serialization for the rho
+    # digest can trip over it)
+    collected = []
+    for setup, rp in items:
         pairs = collect_pairs(setup, rp)
         if pairs is None:
             return False
+        collected.append(pairs)
+    rhos = _rhos(len(items), _batch_digest(items, seed))
+    merged: dict = {}
+    for rho, pairs in zip(rhos, collected):
         for s, p in pairs:
             if p is None:
                 continue

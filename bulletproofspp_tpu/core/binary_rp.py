@@ -13,7 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .fields import Fr
-from .utils import integer_log, base_digits, pad_left, powers1, split_at_maybe, take_maybe
+from .utils import integer_log, base_digits, pad_left, take_maybe
 from .rp_internal import RPW, commit_rpw, make_poly_terms
 from .bulletproof import BPSetup, prove_bp
 
@@ -235,6 +235,8 @@ class SetupBRP:
     def verify_setup(self, tr, coms) -> BPSetup:
         """(reference: Binary.hs:206-221)."""
         arg = self.arg_cls
+        if len(coms) != 2 + len(self.rds):
+            raise ValueError("wrong commitment count")
         bl_com, d_com, n_coms = coms[0], coms[1], coms[2:]
         q, x, r = (Fr(v) for v in tr.oracle([d_com] + list(n_coms), 3))
         q_pows = arg.q_powers(q, 1)

@@ -47,14 +47,28 @@ class BPProof:
     wit_scalars: list  # transmitted final opening: norm scalars ++ linear scalars
 
 
+# Optional per-round trace hook for verbose mode (the reference's
+# runVerbose re-runs the protocol printing per-phase evalScalar
+# invariants, reference: app/Main.hs:214-239).  Called as
+# trace(round_index, challenge, tracked_scalar, collapsed_arg).
+_round_trace = None
+
+
+def set_round_trace(fn):
+    global _round_trace
+    _round_trace = fn
+
+
 def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BPProof:
     arg = setup.arg_cls.make(
         setup.q, setup.bp_coeffs, wit_nrm, setup.nrm_bases, wit_lin, setup.lin_bases, engine
     )
+    if _round_trace is not None:
+        _round_trace(-1, None, wit_scalar, arg)
     sb = engine.basevec_cached(setup.scalar_base)
     sc = wit_scalar
     responses = []
-    for _ in range(setup.rounds):
+    for i in range(setup.rounds):
         s_l, l_groups, s_r, r_groups = arg.make_scalars_coms()
         # ONE device dispatch for both round commitments (fused L/R MSM)
         ac, bc = engine.msm_pair([([s_l], sb)] + l_groups, [([s_r], sb)] + r_groups)
@@ -63,6 +77,8 @@ def prove_bp(tr, engine, setup: BPSetup, wit_scalar: Fr, wit_nrm, wit_lin) -> BP
         sc = sc + e0 * s_l + e1 * s_r
         arg = arg.collapse(e, engine)
         responses.append((ac, bc))
+        if _round_trace is not None:
+            _round_trace(i, e, sc, arg)
     return BPProof(responses, arg.get_witness())
 
 
@@ -79,11 +95,25 @@ def verify_bp_pairs(tr, setup: BPSetup, proof: BPProof):
     many proofs into ONE random-linear-combination MSM (the feature the
     reference lists as TODO, reference: src/RangeProof.hs:103-106,
     README.md:186)."""
-    # replay challenges in execution order
-    es = [Fr(tr.oracle([ac, bc], 1)[0]) for ac, bc in proof.responses]
+    # structural validation first: a malformed proof must yield None, not a
+    # crash (the reference's decode-side checks, src/RangeProof.hs:68-85,
+    # guard the CLI path; library callers can hand us anything)
+    try:
+        responses = [(ac, bc) for ac, bc in proof.responses]
+        wit = [Fr(int(s)) for s in proof.wit_scalars]
+    except (TypeError, ValueError):
+        return None
+    if len(responses) != setup.rounds:
+        return None
+
+    # replay challenges in execution order (responses that are not lists
+    # of curve points fail hashing => malformed, reject)
+    try:
+        es = [Fr(tr.oracle([ac, bc], 1)[0]) for ac, bc in responses]
+    except (TypeError, ValueError, AttributeError, IndexError):
+        return None
 
     n_nrm, n_lin = setup.arg_cls.optimal_witness_size(len(setup.nrm_bases), len(setup.lin_bases))[1]
-    wit = [Fr(int(s)) for s in proof.wit_scalars]
     if len(wit) != n_nrm + n_lin:
         return None
     wit_nrm, wit_lin = wit[:n_nrm], wit[n_nrm:]
@@ -113,7 +143,7 @@ def verify_bp_pairs(tr, setup: BPSetup, proof: BPProof):
         pairs += list(zip(coeff_l, setup.lin_bases))
 
     pairs.append((setup.pub_scalar - sc, setup.scalar_base))
-    for e, (ac, bc) in zip(es, proof.responses):
+    for e, (ac, bc) in zip(es, responses):
         e0, e1 = setup.arg_cls.make_es(e)
         pairs.append((e0, ac))
         pairs.append((e1, bc))

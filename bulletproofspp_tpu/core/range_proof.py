@@ -47,7 +47,10 @@ def verify(setup, rp: RangeProof, engine=None) -> bool:
     coms = list(rp.rp_coms) + list(rp.input_coms)
     try:
         bp_setup = setup.verify_setup(tr, coms)
-    except ValueError:
+    except (ValueError, TypeError, IndexError):
+        # malformed structure (wrong commitment count/shape) => reject,
+        # never raise (reference: src/RangeProof.hs:68-85 decode-side
+        # validation; here the library API is hardened too)
         return False
     return verify_bp(tr, engine, bp_setup, rp.bp)
 

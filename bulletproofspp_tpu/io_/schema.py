@@ -149,7 +149,6 @@ def points_needed(spec: ProofSpec) -> int:
     """Upper bound on basis points the setup consumes."""
     if spec.is_binary:
         return 4 + sum(len(rd.base_coeffs) for rd in spec.ranges)
-    n_types = len(spec.ranges) if spec.conserved else len(spec.ranges)
     nrm = sum(len(rd.base_coeffs) + 1 for rd in spec.ranges)
     shared = set(rd.base for rd in spec.ranges if rd.is_shared and not rd.is_assumed)
     lin = 6 + sum(b - 1 for b in shared) + 1  # +1 slack for a shared bit base

@@ -1,14 +1,30 @@
 """Loader for the native host library (native/bppp_native.cpp).
 
-Builds the shared object on demand with g++ (cached next to the source)
-and exposes the scalar pipeline via ctypes.  Falls back to the pure-Python
-implementation in ops.glv when the toolchain or binary is unavailable —
-outputs are bit-identical (tested in tests/test_native.py).
+Builds the shared object on demand with g++ and exposes the scalar
+pipeline via ctypes.  The build artifact is keyed on a content hash of
+the source (bppp_native-<sha256 prefix>.so): a stale or tampered binary
+can never be picked up after a source change, and no opaque binary is
+ever committed (native/*.so is gitignored).  Falls back to the
+pure-Python implementation in ops.glv when the toolchain is unavailable.
+
+GLV quotient slack: the C++ split computes the lattice quotients with
+two-stage rounding (precomputed 384-bit reciprocals g1/g2, then
+round(k*g / 2^384)), which may differ by +-1 from Python glv.split's
+exact round(b2*k/det) for scalars within 2^-128 of a rounding boundary.
+Every decomposition remains valid (k1 + k2*lambda == k mod R always) and
+the digit recoding uses ROWS=33 signed base-16 rows covering |k_i| <
+2^130 — far above the |k_i| <~ 2^128.2 (max |v1|,|v2| Babai bound + 1
+quotient slack) either path can produce — so MSM results are identical;
+only the (k1, k2) pair itself may differ from the Python fallback on
+boundary scalars.  The randomized equivalence fuzz in
+tests/test_native.py exercises typical scalars; boundary cases are
+covered by the bound argument above, not by the fuzz.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,22 +36,26 @@ _lock = threading.Lock()
 _tried = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native", "bppp_native.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "bppp_native.so")
 
 ROWS = 33
 
 
 def _build() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(os.path.dirname(_SRC), f"bppp_native-{tag}.so")
+    if os.path.exists(so):
+        return so
     try:
+        tmp = so + f".tmp.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
         )
-        return _SO
+        os.replace(tmp, so)  # atomic: concurrent builders race benignly
+        return so
     except Exception:
         return None
 

@@ -374,6 +374,12 @@ class ShardedJaxEngine(JaxEngine):
         from . import sharded
 
         self.mesh = mesh if mesh is not None else sharded.make_mesh()
+        npts = self.mesh.shape["pts"]
+        if npts & (npts - 1):
+            raise ValueError(
+                f"'pts' mesh axis size {npts} must be a power of two "
+                f"(lane buckets are powers of two and must split evenly)"
+            )
         self.shard_above = shard_above
         self._step = sharded.sharded_msm_jit(self.mesh)
         self._npts = self.mesh.shape["pts"]
@@ -388,7 +394,7 @@ class ShardedJaxEngine(JaxEngine):
 
         absd, sgn, lanes_pts = _msm_lanes(flt)
         # lane count: multiple of npts with a power-of-two per-shard width
-        # (npts is asserted to be a power of two in make_mesh usage)
+        # (npts is validated as a power of two in __init__ / make_mesh)
         L = max(_bucket(absd.shape[1]), self._npts * 16)
         pad = L - absd.shape[1]
         if pad:

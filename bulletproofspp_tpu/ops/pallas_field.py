@@ -275,7 +275,7 @@ def msm_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
     rows, L = absd.shape
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
     sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
-    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
     k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
     return pl.pallas_call(
@@ -292,7 +292,7 @@ def horner_pallas(rx, ry, rz, interpret: bool = False):
     """Full Horner accumulation: inputs (16, ROWS) row sums MSB-first,
     output (16, 1) projective accumulator.  ONE kernel launch for what is
     otherwise ~165 tiny point ops."""
-    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
     k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
     return pl.pallas_call(
@@ -314,8 +314,8 @@ def padd_pallas(p, q, block: int = 512, interpret: bool = False):
     L = x1.shape[-1]
     bl = min(block, L)
     assert L % bl == 0
-    spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
     k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
     ox, oy, oz = pl.pallas_call(

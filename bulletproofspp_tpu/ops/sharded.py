@@ -42,8 +42,17 @@ def make_mesh(devices=None, win: int = 1):
 
     devices = list(jax.devices()) if devices is None else list(devices)
     n = len(devices)
-    assert n % win == 0
-    arr = np.asarray(devices).reshape(win, n // win)
+    if n % win != 0:
+        raise ValueError(f"device count {n} not divisible by win={win}")
+    npts = n // win
+    if npts & (npts - 1):
+        raise ValueError(
+            f"'pts' axis size {npts} must be a power of two: sharded_msm "
+            f"splits the (power-of-two) padded lane bucket evenly across "
+            f"point shards.  Use a win factor that leaves a power-of-two "
+            f"pts axis, or drop extra devices."
+        )
+    arr = np.asarray(devices).reshape(win, npts)
     return Mesh(arr, ("win", "pts"))
 
 

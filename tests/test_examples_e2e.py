@@ -137,6 +137,13 @@ def test_64by64_aggregated():
 
 
 @pytest.mark.slow
+def test_96by64_aggregated():
+    # (examples/96by64): 96 shared-digit 64-bit ranges, base 256, NL argument
+    spec, wit = agg_example(96, 256)
+    run_example(spec, wit)
+
+
+@pytest.mark.slow
 def test_128by64_aggregated():
     # the reference's largest example (examples/128by64): 128 shared-digit
     # 64-bit ranges, NL argument
