@@ -6,6 +6,14 @@ derandomized through basisSeed / randomSeed / SHA challenges,
 reference: app/Main.hs:68-87, src/ZKP.hs:90-101).  These digests pin the
 framework's own wire format so any change to the transcript encoding,
 oracle ordering, digit planners, or serialization is caught immediately.
+
+PROVENANCE: these hashes are framework-generated, NOT produced by the
+Haskell reference (no GHC toolchain or network exists in this
+environment — see docs/UPSTREAM_SEMANTICS.md for the build-attempt
+record).  Reference interop rests on the assumption registry in that
+file: every byte-format semantic is pinned to quoted reference source,
+vendored upstream declarations, or a mathematical argument, each with
+its own test in tests/test_upstream_semantics.py.
 """
 
 import hashlib
@@ -30,6 +38,8 @@ GOLDEN = {
                  "2bfde4f53b614740e97e747d5718b85c4d572b36225ac648dcceabc6f7658413", 546),
     "32by64": ("e3bac23588ac2d21bdc2e609b9f474748afcd466e425cf9f16bb6cf9c5fa8347",
                "a0b943d6f35af4c3fc5af52ce0477cb9afeb27ff9e219de0af7692bba1aff0c7", 707),
+    "96by64": ("c51689970bf249e62e66217cf2f2db7a1226b9998d69455c1bd6d034e1266bfb",
+               "323dc1326a64ccb268316c3272a699247d597fa721612252b91c03c1bbadf47a", 803),
 }
 
 CASES = {
@@ -38,6 +48,7 @@ CASES = {
     "bin_test": (ex.EX_BIN, ex.WIT_BIN),
     "rec_test": (ex.EX_REC, ex.WIT_REC),
     "32by64": ex.agg_example(32, 64),
+    "96by64": ex.agg_example(96, 256),
 }
 
 
