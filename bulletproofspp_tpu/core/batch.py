@@ -95,3 +95,68 @@ def batch_verify(items, engine=None, seed: bytes = b"") -> bool:
                 continue
             merged[p] = (merged.get(p, 0) + rho * int(s)) % R
     return engine.msm([(s, p) for p, s in merged.items() if s]) is None
+
+
+def batch_verify_encoded(entries, engine=None, seed: bytes = b"") -> bool:
+    """Decode-and-batch-verify straight from wire bytes — the 1024-proof
+    showcase path.  entries: iterable of (setup, coms_bytes, proof_bytes).
+
+    Point decompression for ALL proofs runs as ONE batched device sqrt
+    (engine.decompress) instead of ~14k Python pows; the rho weights are
+    derived from the raw input bytes; the zero checks then merge into one
+    MSM as in batch_verify.  True iff every proof decodes and verifies.
+    """
+    from .engine import default_engine
+    from .range_proof import parse_proof, assemble_proof
+
+    engine = engine or default_engine()
+    entries = list(entries)
+    if not entries:
+        return True
+
+    parsed = []
+    all_xs: list = []
+    for setup, coms_bytes, proof_bytes in entries:
+        p = parse_proof(setup, coms_bytes, proof_bytes)
+        if p is None:
+            return False
+        scalars, rp_xs, input_xs = p
+        parsed.append((setup, scalars, len(rp_xs), len(input_xs)))
+        all_xs += rp_xs + input_xs
+
+    pts = engine.decompress([x for x, _ in all_xs], [s for _, s in all_xs])
+
+    items = []
+    off = 0
+    for setup, scalars, n_rp, n_in in parsed:
+        rp = assemble_proof(setup, scalars, pts[off : off + n_rp], pts[off + n_rp : off + n_rp + n_in])
+        off += n_rp + n_in
+        if rp is None:
+            return False
+        items.append((setup, rp))
+
+    # rho digest over the RAW wire bytes (equivalent binding, no re-encode)
+    h = hashlib.sha256(b"bppp batch rlc raw v1")
+    h.update(seed)
+    h.update(len(entries).to_bytes(8, "big"))
+    for _, coms_bytes, proof_bytes in entries:
+        h.update(len(coms_bytes).to_bytes(8, "big"))
+        h.update(coms_bytes)
+        h.update(len(proof_bytes).to_bytes(8, "big"))
+        h.update(proof_bytes)
+    digest = h.digest()
+
+    collected = []
+    for setup, rp in items:
+        pairs = collect_pairs(setup, rp)
+        if pairs is None:
+            return False
+        collected.append(pairs)
+    rhos = _rhos(len(items), digest)
+    merged: dict = {}
+    for rho, pairs in zip(rhos, collected):
+        for s, p in pairs:
+            if p is None:
+                continue
+            merged[p] = (merged.get(p, 0) + rho * int(s)) % R
+    return engine.msm([(s, p) for p, s in merged.items() if s]) is None

@@ -54,20 +54,33 @@ def encode_commitments(points) -> bytes:
     return bit_pack(list(signs)) + b"".join(encode_scalar(x) for x in xs)
 
 
-def decode_commitments(n: int, data: bytes, offset: int = 0):
-    """Returns (points, new_offset) or None on failure."""
+def parse_commitments(n: int, data: bytes, offset: int = 0):
+    """Byte-level parse WITHOUT point decompression: returns
+    ([(x, sign)], new_offset) or None on truncation.  Lets batch decoders
+    collect every x across many proofs into ONE device sqrt call."""
     n_sign_bytes = (n + 7) // 8
     if len(data) < offset + n_sign_bytes + 32 * n:
         return None
     signs = bit_unpack(data[offset : offset + n_sign_bytes])
     offset += n_sign_bytes
-    pts = []
+    xs = []
     for i in range(n):
         # The reference decodes x through `toP`, which silently reduces mod Q
         # (reference: src/Encoding.hs:77-79).
-        x = decode_scalar(data[offset : offset + 32], Q)
+        xs.append((decode_scalar(data[offset : offset + 32], Q), signs[i]))
         offset += 32
-        pt = from_x_with_sign(x, signs[i])
+    return xs, offset
+
+
+def decode_commitments(n: int, data: bytes, offset: int = 0):
+    """Returns (points, new_offset) or None on failure."""
+    res = parse_commitments(n, data, offset)
+    if res is None:
+        return None
+    xs, offset = res
+    pts = []
+    for x, sign in xs:
+        pt = from_x_with_sign(x, sign)
         if pt is None:
             return None
         pts.append(pt)

@@ -33,6 +33,15 @@ class HostEngine:
     round-trips through the host (SURVEY §7.4 host/device choreography).
     """
 
+    # -- point decompression -------------------------------------------------
+    def decompress(self, xs, signs):
+        """[(x int, sign bool)] -> [affine point | None (not on curve)].
+        Host path: one Python pow per point; the JAX engine overrides
+        with ONE fused device sqrt over all lanes."""
+        from .encoding import from_x_with_sign
+
+        return [from_x_with_sign(x, s) for x, s in zip(xs, signs)]
+
     # -- base-vector ops -----------------------------------------------------
     def basevec(self, points):
         return list(points)

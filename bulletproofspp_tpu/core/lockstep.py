@@ -1,0 +1,145 @@
+"""Lockstep batch prover: N same-schema proofs, ONE device dispatch per
+protocol phase (VERDICT r1 item 5).
+
+The per-phase commitment structure of both range proofs (reference:
+src/RangeProof/TypedReciprocal.hs:399-444, Binary.hs:171-204) makes this
+legal: every prover of the same schema issues an IDENTICAL sequence of
+engine calls (phase commitments, then one L/R pair per round), differing
+only in scalars.  ``LockstepEngine`` runs N provers on N threads and
+rendezvous-batches each synchronizing engine call into one fused
+``msm_many`` on the inner engine, so the per-call device round-trip
+(which dominates through a tunneled TPU) is paid once per phase for the
+whole batch instead of once per proof.  Non-synchronizing calls (basis
+folds) stay per-proof: they dispatch asynchronously and never block the
+host.
+
+Proof bytes are identical to individually-proven proofs (each thread has
+its own transcript; only the dispatch is fused) — pinned by
+tests/test_lockstep.py.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+
+class _Rendezvous:
+    """Collects one call per participant, executes the merged batch once,
+    and hands each participant its slice.  Errors poison the barrier so
+    no thread blocks forever."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self._cv = threading.Condition()
+        self._pending: dict = {}  # method -> list[args]
+        self._gen: dict = {}  # method -> int
+        self._results: dict = {}  # (method, gen) -> (list | None, error, consumed)
+
+    _error: BaseException | None = None
+
+    def run(self, method: str, args, exec_all):
+        with self._cv:
+            if self._error is not None:
+                raise self._error
+            gen = self._gen.get(method, 0)
+            pending = self._pending.setdefault(method, [])
+            my = len(pending)
+            pending.append(args)
+            key = (method, gen)
+            if my == self.n - 1:
+                self._pending[method] = []
+                self._gen[method] = gen + 1
+                try:
+                    results = exec_all(pending)
+                    self._results[key] = [results, None, 0]
+                except BaseException as e:  # poison this batch
+                    self._results[key] = [None, e, 0]
+                self._cv.notify_all()
+            else:
+                while key not in self._results and self._error is None:
+                    self._cv.wait()
+                if key not in self._results:
+                    raise self._error
+            slot = self._results[key]
+            slot[2] += 1
+            if slot[2] == self.n:
+                del self._results[key]
+            if slot[1] is not None:
+                raise slot[1]
+            return slot[0][my]
+
+    def poison(self, err: BaseException):
+        """Called when a participant dies outside a rendezvous: every
+        waiting and future participant fails fast instead of blocking on
+        a barrier that can never fill (a single failure aborts the whole
+        lockstep batch anyway)."""
+        with self._cv:
+            self._error = err
+            self._cv.notify_all()
+
+
+class LockstepEngine:
+    """Engine wrapper for N lockstep provers.  Synchronizing methods
+    (msm_groups / msm_pair / msm_many) rendezvous and fuse; everything
+    else delegates to the inner engine per-proof."""
+
+    def __init__(self, inner, n: int):
+        self.inner = inner
+        self.n = n
+        self._rv = _Rendezvous(n)
+
+    # --- synchronizing (fused) calls -------------------------------------
+    def msm_groups(self, groups):
+        return self._rv.run("msm_groups", groups, lambda all_: self.inner.msm_many(all_))
+
+    def msm_pair(self, groups_a, groups_b):
+        def exec_all(pending):
+            flat = [g for ga, gb in pending for g in (ga, gb)]
+            outs = self.inner.msm_many(flat)
+            return [(outs[2 * i], outs[2 * i + 1]) for i in range(len(pending))]
+
+        return self._rv.run("msm_pair", (groups_a, groups_b), exec_all)
+
+    def msm_many(self, groups_list):
+        def exec_all(pending):
+            flat = [g for gl in pending for g in gl]
+            outs = self.inner.msm_many(flat)
+            res, off = [], 0
+            for gl in pending:
+                res.append(outs[off : off + len(gl)])
+                off += len(gl)
+            return res
+
+        return self._rv.run("msm_many", list(groups_list), exec_all)
+
+    # --- pass-through ------------------------------------------------------
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def prove_lockstep(setup, values_seeds, engine):
+    """Prove len(values_seeds) same-schema proofs in lockstep.
+
+    values_seeds: list of (values, random_seed) pairs.  Returns the list
+    of RangeProofs (byte-identical to sequential proofs)."""
+    from . import range_proof as rpm
+
+    n = len(values_seeds)
+    if n == 0:
+        return []
+    if n == 1:
+        values, seed = values_seeds[0]
+        return [rpm.prove(setup, values, seed, engine)]
+    eng = LockstepEngine(engine, n)
+
+    def one(item):
+        values, seed = item
+        try:
+            return rpm.prove(setup, values, seed, eng)
+        except BaseException as e:
+            eng._rv.poison(e)
+            raise
+
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        return list(ex.map(one, values_seeds))

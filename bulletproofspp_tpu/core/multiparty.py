@@ -49,6 +49,114 @@ class LocalChannel:
         return self.to_dealer.get()
 
 
+# ---------------------------------------------------------------------------
+# Socket transport: the DCN stand-in (reference: ZKP.hs:110-111 notes the
+# combinators are transport-parametric "Chan, socket").  Wire format is
+# length-prefixed JSON (arbitrary-precision ints are native in Python
+# JSON; no pickle, so a malicious peer cannot execute code).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import socket as _socket
+import struct as _struct
+
+
+def _send_msg(sock, obj):
+    data = _json.dumps(obj).encode()
+    sock.sendall(_struct.pack(">Q", len(data)) + data)
+
+
+def _recv_msg(sock):
+    hdr = _recv_exact(sock, 8)
+    (n,) = _struct.unpack(">Q", hdr)
+    if n > 1 << 30:
+        raise ValueError("oversized multiparty message")
+    return _json.loads(_recv_exact(sock, n).decode())
+
+
+def _recv_exact(sock, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _enc_pts(pts):
+    return [None if p is None else [int(p[0]), int(p[1])] for p in pts]
+
+
+def _dec_pts(pts):
+    return [None if p is None else (int(p[0]), int(p[1])) for p in pts]
+
+
+class SocketChannel:
+    """Client endpoint over TCP: same send/recv contract as LocalChannel."""
+
+    def __init__(self, sock):
+        self.sock = sock
+
+    @classmethod
+    def connect(cls, host: str, port: int):
+        return cls(_socket.create_connection((host, port)))
+
+    def send(self, msg):
+        kind = msg[0]
+        if kind == "commit":
+            _send_msg(self.sock, {"t": "commit", "pts": _enc_pts(msg[1]), "k": msg[2]})
+        else:
+            _send_msg(self.sock, {"t": "done", "op": [int(v) for v in msg[1]]})
+
+    def recv(self):
+        return [int(v) for v in _recv_msg(self.sock)]
+
+    def close(self):
+        self.sock.close()
+
+
+class SocketDealerChannel:
+    """Dealer-side endpoint for one connected party."""
+
+    def __init__(self, sock):
+        self.sock = sock
+
+    def dealer_recv(self):
+        m = _recv_msg(self.sock)
+        if m["t"] == "commit":
+            return ("commit", _dec_pts(m["pts"]), int(m["k"]))
+        return ("done", [int(v) for v in m["op"]], 0)
+
+    def dealer_send(self, msg):
+        _send_msg(self.sock, [int(v) for v in msg])
+
+    def close(self):
+        self.sock.close()
+
+
+def make_dealer_listener(host: str = "127.0.0.1", port: int = 0):
+    """Bind a dealer listener; returns (socket, bound_port) so the port
+    can be communicated to parties before accepting."""
+    s = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    s.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    s.bind((host, port))
+    s.listen()
+    return s, s.getsockname()[1]
+
+
+def run_dealer_on_listener(listener, transcript, n_parties: int):
+    chans = []
+    try:
+        for _ in range(n_parties):
+            sock, _ = listener.accept()
+            chans.append(SocketDealerChannel(sock))
+        return run_dealer(chans, transcript)
+    finally:
+        for c in chans:
+            c.close()
+
+
 class ClientOracle:
     """Client-side oracle: ships commitments, receives challenge scalars
     (reference: multiPartyClientOracle, ZKP.hs:114-118).  Drop-in for the

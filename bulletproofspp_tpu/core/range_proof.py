@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 from .fields import Fr
 from .transcript import Transcript
-from .encoding import encode_scalars_points, decode_scalars_points, encode_commitments, decode_commitments
+from .encoding import encode_scalars_points, encode_commitments
 from .bulletproof import BPProof, verify_bp
 from .engine import default_engine
 from .utils import pairs as _pairs, unpairs as _unpairs
@@ -64,18 +64,54 @@ def encode_proof(setup, rp: RangeProof) -> tuple[bytes, bytes]:
     return coms_bytes, proof_bytes
 
 
-def decode_proof(setup, coms_bytes: bytes, proof_bytes: bytes):
-    """Returns a RangeProof or None (reference: RangeProof.hs:68-85)."""
+def parse_proof(setup, coms_bytes: bytes, proof_bytes: bytes):
+    """Byte-level parse without any EC work: returns
+    (scalars, rp_xs, input_xs) where *_xs are [(x, sign)] lists, or None
+    on malformed bytes.  Batch verification parses many proofs, then
+    decompresses EVERY point in one device call (the n=1024 showcase)."""
+    from .encoding import parse_commitments
+
     num_rp, nrm_len, lin_len = setup.info()
     rounds, (n_nrm, n_lin) = setup.arg_cls.optimal_witness_size(nrm_len, lin_len)
-    res = decode_commitments(setup.n_input_coms(), coms_bytes)
+    res = parse_commitments(setup.n_input_coms(), coms_bytes)
     if res is None:
         return None
-    input_coms, _ = res
-    res = decode_scalars_points(n_nrm + n_lin, num_rp + 2 * rounds, proof_bytes)
+    input_xs, _ = res
+    s_n = n_nrm + n_lin
+    if len(proof_bytes) < 32 * s_n:
+        return None
+    from .transcript import decode_scalar
+    from . import ec as _ec
+
+    scalars = [decode_scalar(proof_bytes[32 * i : 32 * i + 32], _ec.R) for i in range(s_n)]
+    res = parse_commitments(num_rp + 2 * rounds, proof_bytes, 32 * s_n)
     if res is None:
         return None
-    scalars, points = res
-    rp_coms, bp_coms = points[:num_rp], points[num_rp:]
+    rp_xs, _ = res
+    return scalars, rp_xs, input_xs
+
+
+def assemble_proof(setup, scalars, rp_points, input_points):
+    """Build a RangeProof from parsed scalars + decompressed point lists
+    (None in a point list => invalid proof => returns None)."""
+    if any(p is None for p in rp_points) or any(p is None for p in input_points):
+        return None
+    num_rp = setup.info()[0]
+    rp_coms, bp_coms = rp_points[:num_rp], rp_points[num_rp:]
     responses = list(reversed(_pairs(bp_coms)))
-    return RangeProof(rp_coms, input_coms, BPProof(responses, [Fr(s) for s in scalars]))
+    return RangeProof(rp_coms, list(input_points), BPProof(responses, [Fr(s) for s in scalars]))
+
+
+def decode_proof(setup, coms_bytes: bytes, proof_bytes: bytes, engine=None):
+    """Returns a RangeProof or None (reference: RangeProof.hs:68-85).
+    With an engine, point decompression runs as one batched device sqrt."""
+    parsed = parse_proof(setup, coms_bytes, proof_bytes)
+    if parsed is None:
+        return None
+    scalars, rp_xs, input_xs = parsed
+    if engine is None:
+        engine = default_engine()
+    all_xs = rp_xs + input_xs
+    pts = engine.decompress([x for x, _ in all_xs], [s for _, s in all_xs])
+    rp_points, input_points = pts[: len(rp_xs)], pts[len(rp_xs) :]
+    return assemble_proof(setup, scalars, rp_points, input_points)

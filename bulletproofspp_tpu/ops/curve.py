@@ -207,6 +207,28 @@ def padd_auto(p, q):
     return ox.reshape(shape), oy.reshape(shape), oz.reshape(shape)
 
 
+@jax.jit
+def decompress_kernel(x, sign):
+    """Batched point decompression: x (16, L) canonical coordinates,
+    sign (L,) uint32 {0,1} = transmitted "y is the larger root" bits.
+
+    Returns (y, ok): y (16, L) canonical with the sign-selected root, ok
+    (L,) bool = x**3 + 7 was a quadratic residue.  One fused Fermat-chain
+    sqrt over all lanes — the device equivalent of per-point host
+    decompression (reference: src/Encoding.hs:96-103 fromXWithSign +
+    src/Data/Field/Galois/FastPrime.hs:213-218 fastSqrt).
+    """
+    seven = limb.zeros(x.shape[1:]).at[0].set(7)
+    v = limb.add(limb.mul(limb.mul(x, x), x), seven)
+    r = limb.sqrt_candidate(v)
+    ok = limb.eq(limb.mul(r, r), v)
+    rn = limb.normalize(r)
+    nn = limb.normalize(limb.sub(limb.zeros(x.shape[1:]), r))
+    big = limb.gt(rn, nn)  # yInt > negYInt (reference: Encoding.hs:113-118)
+    y = limb.select(big == (sign > 0), rn, nn)
+    return y, ok
+
+
 # GLV endomorphism phi(x,y,z) = (beta*x, y, z) (reference: src/Data/Curve/CM.hs:25-33)
 _BETA = limb.pack_int(ec.BETA)  # numpy: lifted as a jit constant
 

@@ -142,6 +142,28 @@ class JaxEngine:
         self._host = HostEngine()
         self._bv_cache: dict = {}
 
+    # -- point decompression -------------------------------------------------
+    def decompress(self, xs, signs):
+        """Batched device decompression: ONE fused Fermat sqrt chain over
+        all lanes (the 1024-proof batch-decode path; host decompression
+        is ~100 us/point of Python pow).  Small batches fall back to the
+        host engine."""
+        n = len(xs)
+        if n == 0:
+            return []
+        if n < max(self.host_below, 32):
+            return self._host.decompress(xs, signs)
+        L = _bucket(n)
+        xs_pad = [int(x) % Q for x in xs] + [0] * (L - n)
+        x = jnp.asarray(limb.pack_ints(xs_pad))
+        sg = jnp.asarray(np.asarray([1 if s else 0 for s in signs] + [0] * (L - n), np.uint32))
+        y, ok = curve.decompress_kernel(x, sg)
+        ys = limb.unpack_ints(np.asarray(y))
+        oks = np.asarray(ok)
+        return [
+            ((xs_pad[i], ys[i]) if oks[i] else None) for i in range(n)
+        ]
+
     # -- base-vector ops -----------------------------------------------------
     def basevec_cached(self, points):
         """DevicePoints for a STABLE host-side basis (a setup's base list

@@ -373,6 +373,43 @@ def inv(a):
     return r
 
 
+_SQRT_EXP_BITS = np.array(
+    [((Q + 1) // 4) >> i & 1 for i in range(253, -1, -1)], dtype=np.uint32
+)
+
+
+@jax.jit
+def sqrt_candidate(a):
+    """a^((p+1)/4) — THE principal square root when a is a QR (p = 3 mod
+    4; callers must check sqr(r) == a to detect non-residues).  Device
+    equivalent of the reference's fastSqrt
+    (reference: src/Data/Field/Galois/FastPrime.hs:213-218)."""
+    bits = jnp.asarray(_SQRT_EXP_BITS)
+
+    def step(r, bit):
+        r2 = mul(r, r)
+        rm = mul(r2, a)
+        return jnp.where(bit > 0, rm, r2), None
+
+    r, _ = lax.scan(step, ones(a.shape[1:]), bits)
+    return r
+
+
+@jax.jit
+def gt(a, b):
+    """Boolean mask over batch axes: a > b as 256-bit integers (inputs
+    carried limbs; compared as raw representatives, so normalize first
+    for canonical comparison)."""
+
+    def step(borrow, ab):
+        av, bv = ab
+        t = bv - av - borrow
+        return t >> 31, None
+
+    borrow, _ = lax.scan(step, jnp.zeros_like(a[0]), (a, b))
+    return borrow > 0  # b - a underflowed => a > b
+
+
 @partial(jax.jit, static_argnums=1)
 def batch_inv(a, axis=1):
     """Montgomery batch inversion along a batch axis with ONE Fermat inverse.

@@ -107,6 +107,22 @@ def msm_kernel(px, py, pz, absd, sgn):
     L = px.shape[-1]
     rows = absd.shape[0]
 
+    if curve._pallas_enabled() and L >= 1024 and (L & (L - 1)) == 0:
+        # large MSMs: table -> flat layout, then the fused Pallas
+        # select+reduce kernel (digit selection never round-trips HBM),
+        # the 8:1 reduce chain, and the fused tail+Horner — ~5 launches
+        # total, each at the fused-padd compute rate
+        from . import pallas_field
+
+        fx, fy2, fz = pallas_field.table_flat_pallas(px, py, pz)
+        flat = pallas_field.select_reduce_pallas(fx, fy2, fz, absd, sgn)
+        W = L // 8
+        while W > 128:
+            f = min(8, W // 128)
+            flat = pallas_field.reduce_block_pallas(flat, factor=f)
+            W //= f
+        return pallas_field.tail_horner_pallas(flat, rows)
+
     if _fused_enabled() and curve._pallas_enabled() and L == 128 and rows == ROWS:
         # proof-sized MSMs: the ENTIRE pipeline in one Pallas launch
         # (rows*L = 33*128 keeps every lane width 128-aligned for Mosaic).
@@ -134,6 +150,22 @@ def msm_kernel(px, py, pz, absd, sgn):
     selx = onehot_select(tx, absd)  # (16, ROWS, L)
     sely = onehot_select(ty2, idxy)
     selz = onehot_select(tz, absd)
+
+    if curve._pallas_enabled() and L >= 128 and (L & (L - 1)) == 0:
+        # fused Pallas reduction: each launch narrows the row-major
+        # (16, ROWS*L) planes 8:1 with in-VMEM halving adds (no wasted
+        # lanes, no per-level pad/reshape traffic), then ONE launch
+        # roll-reduces the last 128 lanes/row and runs the full Horner —
+        # 4 launches for a 65536-lane MSM instead of ~20 padd dispatches
+        from . import pallas_field
+
+        flat = tuple(t.reshape(limb.NLIMB, rows * L) for t in (selx, sely, selz))
+        W = L
+        while W > 128:
+            f = min(8, W // 128)
+            flat = pallas_field.reduce_block_pallas(flat, factor=f)
+            W //= f
+        return pallas_field.tail_horner_pallas(flat, rows)
 
     # tree-reduce over lanes (the reference's per-row serial adds,
     # reference: Commitment.hs:331-335, become log2(L) batched adds)

@@ -304,6 +304,219 @@ def horner_pallas(rx, ry, rz, interpret: bool = False):
     )(k2, rx, ry, rz)
 
 
+# ---------------------------------------------------------------------------
+# Fused lane reduction: the MSM's dominant stage.  Summing the one-hot
+# selected points over lanes is 33*L complete adds; as repeated XLA/
+# padd_auto calls it runs at ~half the fused-padd rate (per-level pad/
+# reshape traffic, narrow tails).  Here each launch narrows a row-major
+# (16, R*W) lane array by 8x (blocks of 8*128 reduce 1024 -> 128 with
+# three in-VMEM halving adds, no wasted lanes), and a final launch
+# roll-reduces the last 128 lanes per row and runs the whole Horner
+# accumulation — 4 launches total for a 65536-lane MSM.
+# ---------------------------------------------------------------------------
+
+
+def _reduce_block_kernel(k2, x1, y1, z1, ox, oy, oz):
+    """(16, BLK) -> (16, BLK//8) by three halving complete adds."""
+    k2v = k2[:]
+    p = (x1[:], y1[:], z1[:])
+    w = p[0].shape[-1]
+    target = ox.shape[-1]
+    while w > target:
+        h = w // 2
+        a = tuple(t[:, :h] for t in p)
+        b = tuple(t[:, h : 2 * h] for t in p)
+        p = _padd_body(k2v, *a, *b)
+        w = h
+    ox[:], oy[:], oz[:] = p
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "interpret"))
+def reduce_block_pallas(p, factor: int = 8, interpret: bool = False):
+    """Narrow (16, W) lane planes by ``factor`` (2/4/8): W must be a
+    multiple of 128*factor; blocks never cross 128*factor boundaries, so
+    callers with R independent rows of W/R lanes each keep rows intact
+    as long as W/R is a multiple of 128*factor."""
+    x1, y1, z1 = p
+    W = x1.shape[-1]
+    blk = 128 * factor
+    assert W % blk == 0 and factor in (2, 4, 8)
+    grid = W // blk
+    spec = pl.BlockSpec((NLIMB, blk), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    ospec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMB, W // factor), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    return pl.pallas_call(
+        _reduce_block_kernel,
+        grid=(grid,),
+        in_specs=[kspec] + [spec] * 3,
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(k2, x1, y1, z1)
+
+
+def _table_flat_kernel(k2, px, py, pz, ox, oy, oz):
+    """Multiple tables 0P..8P for a block of lanes, written in the FLAT
+    layout the select kernel reads: x/z as (144, BLK) (9 entries x 16
+    limbs), y as (288, BLK) (18 signed entries).  7 complete adds + 9
+    negations, all in VMEM."""
+    k2v = k2[:]
+    bx, by, bz = px[:], py[:], pz[:]
+    blk = bx.shape[-1]
+    zero = jnp.zeros((NLIMB, blk), jnp.uint32)
+    one = jnp.concatenate([jnp.ones((1, blk), jnp.uint32), jnp.zeros((NLIMB - 1, blk), jnp.uint32)], 0)
+    sub = _make_sub(k2v)
+    entries = [(zero, one, zero), (bx, by, bz)]
+    acc = (bx, by, bz)
+    for _ in range(7):
+        acc = _padd_body(k2v, *acc, bx, by, bz)
+        entries.append(acc)
+    ox[:] = jnp.concatenate([e[0] for e in entries], axis=0)
+    oz[:] = jnp.concatenate([e[2] for e in entries], axis=0)
+    ys = [e[1] for e in entries]
+    nys = [sub(zero, y) for y in ys]
+    oy[:] = jnp.concatenate(ys + nys, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def table_flat_pallas(px, py, pz, interpret: bool = False):
+    """(16, L) projective base lanes -> flat tables (144, L), (288, L),
+    (144, L) for select_reduce_pallas.  L must be a multiple of 1024."""
+    L = px.shape[-1]
+    assert L % 1024 == 0
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec = pl.BlockSpec((NLIMB, 1024), lambda i: (0, i), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=ms)
+    o9 = pl.BlockSpec((144, 1024), lambda i: (0, i), memory_space=ms)
+    o18 = pl.BlockSpec((288, 1024), lambda i: (0, i), memory_space=ms)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    return pl.pallas_call(
+        _table_flat_kernel,
+        grid=(L // 1024,),
+        in_specs=[kspec, spec, spec, spec],
+        out_specs=(o9, o18, o9),
+        out_shape=(
+            jax.ShapeDtypeStruct((144, L), jnp.uint32),
+            jax.ShapeDtypeStruct((288, L), jnp.uint32),
+            jax.ShapeDtypeStruct((144, L), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(k2, px, py, pz)
+
+
+def _select_reduce_kernel(k2, d, s, tx, ty2, tz, ox, oy, oz):
+    """One (lane-block, row) program: one-hot select 1024 lanes' table
+    entries for this row's digits, then reduce 1024 -> 128 with three
+    halving complete adds.  Tables are blocked on lanes only, so with the
+    row axis INNERMOST in the grid the table block is fetched once per
+    lane block and reused across all rows (Pallas skips re-fetch when the
+    block index is unchanged)."""
+    k2v = k2[:]
+    dv = d[:]  # (1, BLK) digit magnitudes
+    iv = dv + 9 * s[:]  # signed index into the 18-entry y table
+    blk = dv.shape[-1]
+
+    selx = jnp.zeros((NLIMB, blk), jnp.uint32)
+    sely = jnp.zeros((NLIMB, blk), jnp.uint32)
+    selz = jnp.zeros((NLIMB, blk), jnp.uint32)
+    for k in range(9):
+        mx = dv == k
+        selx = selx + jnp.where(mx, tx[16 * k : 16 * k + 16, :], jnp.uint32(0))
+        selz = selz + jnp.where(mx, tz[16 * k : 16 * k + 16, :], jnp.uint32(0))
+    for k in range(18):
+        sely = sely + jnp.where(iv == k, ty2[16 * k : 16 * k + 16, :], jnp.uint32(0))
+
+    p = (selx, sely, selz)
+    w = blk
+    while w > 128:
+        h = w // 2
+        p = _padd_body(k2v, *(t[:, :h] for t in p), *(t[:, h : 2 * h] for t in p))
+        w = h
+    ox[:], oy[:], oz[:] = p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def select_reduce_pallas(tx_flat, ty2_flat, tz_flat, absd, sgn, interpret: bool = False):
+    """Fused one-hot digit selection + first 8:1 lane reduction.
+
+    tx_flat/tz_flat: (144, L) flat tables (9 entries x 16 limbs);
+    ty2_flat: (288, L) (18 signed entries).  absd/sgn: (ROWS, L).
+    Returns (16, ROWS*L/8) row-major partials — select never touches HBM.
+    """
+    rows, L = absd.shape
+    assert L % 1024 == 0
+    nblk = L // 1024
+    ms = pl.ANY if interpret else pltpu.VMEM
+    tspec9 = pl.BlockSpec((144, 1024), lambda i, r: (0, i), memory_space=ms)
+    tspec18 = pl.BlockSpec((288, 1024), lambda i, r: (0, i), memory_space=ms)
+    # digits flattened row-major to (1, rows*L): block (r*nblk + i) is
+    # exactly row r's lanes [i*1024, (i+1)*1024)
+    dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
+    ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i, r: (0, 0), memory_space=ms)
+    out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
+    sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
+    return pl.pallas_call(
+        _select_reduce_kernel,
+        grid=(nblk, rows),
+        in_specs=[kspec, dspec, dspec, tspec9, tspec18, tspec9],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(k2, dflat, sflat, tx_flat, ty2_flat, tz_flat)
+
+
+def _tail_horner_kernel(rows, k2, x1, y1, z1, ox, oy, oz):
+    """Input (16, rows*128) row-major; roll-reduce each row's 128 lanes,
+    then Horner-accumulate the rows (MSB row first) into one point."""
+    k2v = k2[:]
+    sel = (x1[:], y1[:], z1[:])
+    width = sel[0].shape[-1]
+    shift = 64
+    while shift >= 1:
+        rolled = tuple(pltpu.roll(t, width - shift, 1) for t in sel)
+        sel = _padd_body(k2v, *sel, *rolled)
+        shift //= 2
+    # row sum r now lives at lane r*128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NLIMB, width), 1)
+
+    def pick(v, r):
+        masked = jnp.where(lane == r * 128, v, jnp.uint32(0)).astype(jnp.int32)
+        return jnp.sum(masked, axis=1, keepdims=True, dtype=jnp.int32).astype(jnp.uint32)
+
+    def body(r, acc):
+        x, y, z = acc
+        for _ in range(4):
+            x, y, z = _pdbl_body(k2v, x, y, z)
+        return _padd_body(k2v, x, y, z, pick(sel[0], r), pick(sel[1], r), pick(sel[2], r))
+
+    z1c = jnp.zeros((NLIMB, 1), jnp.uint32)
+    o1 = jnp.concatenate([jnp.ones((1, 1), jnp.uint32), jnp.zeros((NLIMB - 1, 1), jnp.uint32)], 0)
+    acc = jax.lax.fori_loop(0, rows, body, (z1c, o1, z1c))
+    ox[:], oy[:], oz[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def tail_horner_pallas(p, rows: int, interpret: bool = False):
+    """(16, rows*128) row-major lane planes -> final (16, 1) point."""
+    x1, y1, z1 = p
+    assert x1.shape[-1] == rows * 128
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    return pl.pallas_call(
+        functools.partial(_tail_horner_kernel, rows),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(k2, x1, y1, z1)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def padd_pallas(p, q, block: int = 512, interpret: bool = False):
     """Complete addition over (16, L) lanes as a Pallas kernel.

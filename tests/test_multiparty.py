@@ -44,3 +44,46 @@ def test_dealer_aggregates_and_broadcasts():
     # final openings combine additively
     e = results[0][0]
     assert summed == [t * e % R for t in tot]
+
+
+def test_dealer_over_sockets():
+    """Same protocol over the TCP transport (the DCN stand-in,
+    reference: ZKP.hs:110-111 'Chan, socket')."""
+    from bulletproofspp_tpu.core.multiparty import (
+        SocketChannel,
+        make_dealer_listener,
+        run_dealer_on_listener,
+    )
+
+    nparties = 2
+    shares = [[3, 5], [8, 21]]
+    listener, port = make_dealer_listener()
+    results = [None] * nparties
+
+    def party(i):
+        ch = SocketChannel.connect("127.0.0.1", port)
+        try:
+            oracle = ClientOracle(ch)
+            pts = [ec.scalar_mul(s, ec.G) for s in shares[i]]
+            challenge = oracle.oracle(pts, 1)
+            results[i] = challenge
+            oracle.done([s * challenge[0] % R for s in shares[i]])
+        finally:
+            ch.close()
+
+    threads = [threading.Thread(target=party, args=(i,)) for i in range(nparties)]
+    for t in threads:
+        t.start()
+    tr = Transcript(None)
+    try:
+        summed, rounds = run_dealer_on_listener(listener, tr, nparties)
+    finally:
+        listener.close()
+    for t in threads:
+        t.join()
+
+    assert results[0] == results[1]
+    tot = [sum(col) for col in zip(*shares)]
+    assert rounds[0] == [ec.scalar_mul(t, ec.G) for t in tot]
+    e = results[0][0]
+    assert summed == [t * e % R for t in tot]
