@@ -192,11 +192,15 @@ def roofline(dev_s: float, n_points: int):
     t_add = best(stream_chain(lambda p, q: p + q), a)
     r_add = 4 * DEPTH * n_elem / max(t_add - t_null, 1e-9)
 
-    # instruction-stream bound for one complete add (per lane):
-    # 12.25 field muls x (256 u32 muls + ~1477 add/logic) + ~9 field
-    # add/subs x ~400 add/logic (carries + folds)
-    mul_ops, other_ops = 12.25 * 256, 12.25 * 1477 + 9 * 400
-    padd_sol = mul_ops / r_mul + other_ops / r_add
+    # serial-stream instruction model for one complete add (per lane):
+    # 12.25 field muls x (256 u32 muls + ~1450 add/logic) + ~9 field
+    # add/subs x ~350 add/logic (carries + folds).  The measured kernel
+    # runs FASTER than this model evaluated at the serial-chain u32
+    # rates (the VPU co-issues); a ratio >= 1 therefore means the fused
+    # kernel has no measurable instruction-stream headroom left — it is
+    # a diagnostic, not a utilization.
+    mul_ops, other_ops = 12.25 * 256, 12.25 * 1450 + 9 * 350
+    padd_model = mul_ops / r_mul + other_ops / r_add
 
     pipeline_padds = 40 * L
     dev_net = max(dev_s - t_null, 1e-9)
@@ -207,10 +211,10 @@ def roofline(dev_s: float, n_points: int):
         "padd_kernel_ns_per_lane": round(t_padd * 1e9, 2),
         "padds_per_s_per_chip": round(pipeline_padds / dev_net),
         "roofline_util": round(sol_pipeline / dev_net, 3),
-        "u32_mul_gops": round(r_mul / 1e9, 1),
-        "u32_add_gops": round(r_add / 1e9, 1),
-        "padd_vpu_sol_ns": round(padd_sol * 1e9, 2),
-        "padd_vpu_util": round(padd_sol / t_padd, 3),
+        "u32_mul_gops_serial": round(r_mul / 1e9, 1),
+        "u32_add_gops_serial": round(r_add / 1e9, 1),
+        "padd_serial_model_ns": round(padd_model * 1e9, 2),
+        "padd_beats_serial_model_by": round(padd_model / t_padd, 2),
     }
 
 
@@ -274,7 +278,10 @@ def bench_proofs():
         (_resolve_values(spec, schema_mod.parse_witness([{"amount": 10**9 + i}])), f"lk{i}".encode())
         for i in range(nlock)
     ]
-    prove_lockstep(setup, items[:4], engine)  # warm fused shapes
+    # warm with the SAME batch size: the fused dispatch shapes depend on
+    # N, so a smaller warm run would leave every fused compile inside
+    # the timed region
+    prove_lockstep(setup, items, engine)
     t0 = time.perf_counter()
     lk = prove_lockstep(setup, items, engine)
     lock_s = (time.perf_counter() - t0) / nlock

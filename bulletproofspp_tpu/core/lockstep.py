@@ -113,6 +113,20 @@ class LockstepEngine:
 
         return self._rv.run("msm_many", list(groups_list), exec_all)
 
+    def fold_bv(self, b, a, even, odd):
+        """Per-round basis folds also rendezvous: through a tunneled
+        device, N separate fold dispatches cost N submission latencies
+        even though they never sync; one vmapped dispatch replaces them
+        (inner.fold_bv_many)."""
+
+        def exec_all(pending):
+            many = getattr(self.inner, "fold_bv_many", None)
+            if many is not None:
+                return many(pending)
+            return [self.inner.fold_bv(*call) for call in pending]
+
+        return self._rv.run("fold_bv", (b, a, even, odd), exec_all)
+
     # --- pass-through ------------------------------------------------------
     def __getattr__(self, name):
         return getattr(self.inner, name)

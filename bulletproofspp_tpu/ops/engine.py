@@ -342,6 +342,43 @@ class JaxEngine:
         )
         return DevicePoints(x[:, :n], y[:, :n], z[:, :n])
 
+    def fold_bv_many(self, calls):
+        """Fused basis folding for N lockstep provers: calls is a list of
+        (b, a, even, odd) with IDENTICAL shapes (same schema); one
+        vmapped device dispatch replaces N fold_bv dispatches (through a
+        tunneled device, per-dispatch latency dominates the round)."""
+        if len(calls) == 1:
+            b, a, even, odd = calls[0]
+            return [self.fold_bv(b, a, even, odd)]
+        exs, eys, ezs, oxs, oys, ozs = [], [], [], [], [], []
+        des, sges, dos, sgos, ns = [], [], [], [], []
+        L0 = None
+        for b, a, even, odd in calls:
+            even = self.basevec(even)
+            odd = self.bv_pad(self.basevec(odd), len(even))
+            n = len(even)
+            L = _bucket(n)
+            if L0 is None:
+                L0 = L
+            assert L == L0, "lockstep fold requires identical shapes"
+            even = _dp_pad(even, L)
+            odd = _dp_pad(odd, L)
+            de, sge = _recode_one(int(b))
+            do, sgo = _recode_one(int(a))
+            exs.append(even.x), eys.append(even.y), ezs.append(even.z)
+            oxs.append(odd.x), oys.append(odd.y), ozs.append(odd.z)
+            des.append(de), sges.append(sge), dos.append(do), sgos.append(sgo)
+            ns.append(n)
+        x, y, z = msm._fold_many_compiled(
+            jnp.stack(exs), jnp.stack(eys), jnp.stack(ezs),
+            jnp.stack(oxs), jnp.stack(oys), jnp.stack(ozs),
+            jnp.asarray(np.stack(des)), jnp.asarray(np.stack(sges)),
+            jnp.asarray(np.stack(dos)), jnp.asarray(np.stack(sgos)),
+        )
+        return [
+            DevicePoints(x[i, :, :n], y[i, :, :n], z[i, :, :n]) for i, n in enumerate(ns)
+        ]
+
     # -- per-round basis folding --------------------------------------------
     def fold_bases(self, b: int, a: int, g_even, g_odd):
         n = len(g_even)

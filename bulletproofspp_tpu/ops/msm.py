@@ -242,6 +242,7 @@ def complete_square_kernel(g0x, g0y, g0z, e0x, e0y, e0z, g1x, g1y, g1z, de, se, 
 _msm_compiled = jax.jit(msm_kernel)
 _msm_pair_compiled = jax.jit(jax.vmap(msm_kernel))
 _fold_compiled = jax.jit(fold_mul_kernel)
+_fold_many_compiled = jax.jit(jax.vmap(fold_mul_kernel))
 _csq_compiled = jax.jit(complete_square_kernel)
 
 

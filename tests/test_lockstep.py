@@ -55,3 +55,23 @@ def test_lockstep_single_and_empty():
     assert prove_lockstep(setup, [], ENGINE) == []
     [p] = prove_lockstep(setup, [(_vals(spec, [{"amount": 5}]), b"z")], ENGINE)
     assert rpm.verify(setup, p, ENGINE)
+
+
+def test_fold_bv_many_matches_fold_bv():
+    """The vmapped fused fold must be bit-identical per entry."""
+    from bulletproofspp_tpu.core import ec
+    from bulletproofspp_tpu.ops.engine import JaxEngine
+
+    eng = JaxEngine(host_below=0)
+    import random as _r
+
+    r = _r.Random(3)
+    calls = []
+    for i in range(3):
+        even = [ec.scalar_mul(r.randrange(1, ec.R), ec.G) for _ in range(5)]
+        odd = [ec.scalar_mul(r.randrange(1, ec.R), ec.G) for _ in range(4)]
+        calls.append((r.randrange(1, 2**120), r.randrange(1, 2**120), even, odd))
+    fused = eng.fold_bv_many(calls)
+    for call, got in zip(calls, fused):
+        want = eng.fold_bv(*call)
+        assert got.to_host() == want.to_host()
