@@ -120,15 +120,23 @@ def from_affine_host(points):
     )
 
 
+@jax.jit
+def _normalize3(x, y, z):
+    return jnp.stack([limb.normalize(x), limb.normalize(y), limb.normalize(z)])
+
+
 def to_affine_host(p):
     """Projective limb planes -> list of affine tuples / None (host, exact).
 
     Uses ONE Python modular inverse per lane; for large batches prefer
     ``to_affine`` (device batch inversion) and convert the result.
+    ONE device dispatch + ONE host transfer for all three coordinates
+    (three separate syncs each pay a tunnel round-trip).
     """
-    X = limb.unpack_ints(np.asarray(limb.normalize(p[0])))
-    Y = limb.unpack_ints(np.asarray(limb.normalize(p[1])))
-    Z = limb.unpack_ints(np.asarray(limb.normalize(p[2])))
+    arr = np.asarray(_normalize3(*p))
+    X = limb.unpack_ints(arr[0])
+    Y = limb.unpack_ints(arr[1])
+    Z = limb.unpack_ints(arr[2])
     out = []
     for x, y, z in zip(X, Y, Z):
         if z == 0:

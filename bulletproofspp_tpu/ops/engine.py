@@ -130,6 +130,101 @@ def _interleave_endo(x, y, z):
     return ilv(x, ex), ilv(y, ey), ilv(z, ez)
 
 
+# Eager (op-by-op) jnp slicing costs a full per-op dispatch — measured
+# ~9 ms per slice through the tunneled backend vs ~0.2 ms for one jitted
+# call — so every hot-path slice/split goes through a compiled helper.
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=3)
+def _slice3(x, y, z, n):
+    return x[:, :n], y[:, :n], z[:, :n]
+
+
+def _dp_slice(dp: DevicePoints, n: int) -> DevicePoints:
+    if n >= len(dp):
+        return dp
+    return DevicePoints(*_slice3(dp.x, dp.y, dp.z, n))
+
+
+@jax.jit
+def _split3(x, y, z):
+    return x[:, 0::2], y[:, 0::2], z[:, 0::2], x[:, 1::2], y[:, 1::2], z[:, 1::2]
+
+
+@_partial(jax.jit, static_argnums=3)
+def _unstack3(x, y, z, n):
+    """(N, 16, L) stacked coords -> N per-entry (16, n) triples in ONE
+    dispatch (used by the fused lockstep fold)."""
+    return tuple((x[i, :, :n], y[i, :, :n], z[i, :, :n]) for i in range(x.shape[0]))
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _assemble_fold(pairs, L):
+    """Pad every (even, odd) base pair to L lanes with the identity and
+    stack to (N, 16, L) per coordinate — one compiled program for the
+    fused lockstep fold's assembly."""
+
+    def padto(x, y, z):
+        k = L - x.shape[-1]
+        if k:
+            zero = jnp.zeros((limb.NLIMB, k), jnp.uint32)
+            one = zero.at[0].set(1)
+            x = jnp.concatenate([x, zero], -1)
+            y = jnp.concatenate([y, one], -1)
+            z = jnp.concatenate([z, zero], -1)
+        return x, y, z
+
+    es = [padto(*e3) for e3, _ in pairs]
+    osv = [padto(*o3) for _, o3 in pairs]
+    return (
+        jnp.stack([t[0] for t in es]),
+        jnp.stack([t[1] for t in es]),
+        jnp.stack([t[2] for t in es]),
+        jnp.stack([t[0] for t in osv]),
+        jnp.stack([t[1] for t in osv]),
+        jnp.stack([t[2] for t in osv]),
+    )
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _assemble_many(parts, sig, L):
+    """ONE compiled program assembling K MSM entries from device-resident
+    group arrays: slice to active counts, concatenate, GLV-interleave
+    with the endomorphism, pad to the lane bucket, stack.
+
+    parts: flat tuple of (x, y, z) triples, entry-major; sig: tuple per
+    entry of that entry's group active-counts (static).  Compiled once
+    per call-site signature — replaces ~10 eager dispatches PER GROUP
+    (each ~1 ms through the tunneled backend) with one dispatch total.
+    """
+    out = []
+    i = 0
+    for entry in sig:
+        xs, ys, zs = [], [], []
+        for n in entry:
+            x, y, z = parts[i]
+            i += 1
+            xs.append(x[:, :n]), ys.append(y[:, :n]), zs.append(z[:, :n])
+        cx = jnp.concatenate(xs, -1) if len(xs) > 1 else xs[0]
+        cy = jnp.concatenate(ys, -1) if len(ys) > 1 else ys[0]
+        cz = jnp.concatenate(zs, -1) if len(zs) > 1 else zs[0]
+        px, py, pz = _interleave_endo(cx, cy, cz)
+        pad = L - px.shape[-1]
+        if pad:
+            zero = jnp.zeros((limb.NLIMB, pad), jnp.uint32)
+            one = zero.at[0].set(1)
+            px = jnp.concatenate([px, zero], -1)
+            py = jnp.concatenate([py, one], -1)
+            pz = jnp.concatenate([pz, zero], -1)
+        out.append((px, py, pz))
+    return (
+        jnp.stack([o[0] for o in out]),
+        jnp.stack([o[1] for o in out]),
+        jnp.stack([o[2] for o in out]),
+    )
+
+
 class JaxEngine:
     """Device-backed engine.  ``host_below``: lane-count threshold under
     which calls fall back to the exact host engine (dispatch+transfer
@@ -200,8 +295,9 @@ class JaxEngine:
 
     def bv_split(self, bv):
         bv = self.basevec(bv)
-        even = DevicePoints(bv.x[:, 0::2], bv.y[:, 0::2], bv.z[:, 0::2])
-        odd = DevicePoints(bv.x[:, 1::2], bv.y[:, 1::2], bv.z[:, 1::2])
+        ex, ey, ez, ox, oy, oz = _split3(bv.x, bv.y, bv.z)
+        even = DevicePoints(ex, ey, ez)
+        odd = DevicePoints(ox, oy, oz)
         return even, _dp_pad(odd, len(even))
 
     def _prep_groups(self, groups, L: int | None = None):
@@ -216,9 +312,7 @@ class JaxEngine:
             if n == 0:
                 continue
             scalars.extend(svals[:n])
-            lanes.append(
-                DevicePoints(bv.x[:, :n], bv.y[:, :n], bv.z[:, :n])
-            )
+            lanes.append(_dp_slice(bv, n))
         if not scalars:
             return None
         metrics.count("engine.msm.lanes", 2 * len(scalars))
@@ -249,13 +343,11 @@ class JaxEngine:
 
     def msm_groups(self, groups):
         """Combined MSM over (scalars, basevec) groups; scalars are host
-        field elements, bases stay device-resident."""
-        prep = self._prep_groups(groups)
-        if prep is None:
-            return None
-        px, py, pz, absd, sgn = prep
-        acc = msm.run_msm(px, py, pz, absd, sgn)
-        return curve.to_affine_host(acc)[0]
+        field elements, bases stay device-resident.  Routed through the
+        fused msm_many assembly (one compiled program for all device-side
+        prep; the eager per-op path pays ~1 ms per op through the
+        tunnel)."""
+        return self.msm_many([groups])[0]
 
     def msm_pair(self, groups_a, groups_b):
         """TWO independent MSMs in ONE device dispatch (vmapped kernel):
@@ -267,19 +359,71 @@ class JaxEngine:
         """K independent MSMs in ONE device dispatch (vmapped kernel) —
         used for range-proof phase commitments that all precede a single
         oracle call (reference: proveTRRPM Phase1 commits 2+n vectors
-        before one challenge, TypedReciprocal.hs:408-414)."""
-        preps = [self._prep_groups(g) for g in groups_list]
-        if any(p is None for p in preps):  # degenerate: sequential path
-            return [self.msm_groups(g) for g in groups_list]
-        L = max(p[0].shape[-1] for p in preps)
-        preps = [
-            p if p[0].shape[-1] == L else self._prep_groups(g, L)
-            for p, g in zip(preps, groups_list)
-        ]
-        stacked = [jnp.stack(parts) for parts in zip(*preps)]
-        acc = msm._msm_pair_compiled(*stacked)  # (k, 16, 1) per coord
+        before one challenge, TypedReciprocal.hs:408-414) and by the
+        lockstep prover's fused per-phase dispatch.
+
+        All device-side assembly (slice/concat/endo/pad/stack) runs as
+        ONE compiled program (_assemble_many) and all scalars of all
+        entries recode in one native call: through a tunneled device the
+        per-op dispatch otherwise dominates the whole round."""
+        from .. import native
+
+        entries = []
+        empty = set()
+        all_scalars: list = []
+        for idx, groups in enumerate(groups_list):
+            comps = []
+            count = 0
+            for svec, bv in groups:
+                svals = [int(s) % R for s in svec]
+                bv = self.basevec(bv)
+                n = min(len(svals), len(bv))
+                if n == 0:
+                    continue
+                comps.append(((bv.x, bv.y, bv.z), n))
+                all_scalars.extend(svals[:n])
+                count += n
+            if not comps:  # empty MSM: its result is the identity (None)
+                empty.add(idx)
+            else:
+                entries.append((comps, count))
+        if not entries:
+            return [None] * len(groups_list)
+        metrics.count("engine.msm.lanes", 2 * len(all_scalars))
+
+        nat = native.glv_recode_batch(all_scalars)
+        if nat is not None:
+            absd_all, sgn_all = nat
+        else:
+            halves = []
+            for s in all_scalars:
+                k1, k2 = glv.split(s)
+                halves += [k1, k2]
+            absd_all, sgn_all = glv.recode_batch(halves)
+
+        K = len(entries)
+        L = _bucket(2 * max(c for _, c in entries))
+        absd = np.zeros((K, glv.ROWS, L), np.uint32)
+        sgn = np.zeros((K, glv.ROWS, L), np.uint32)
+        off = 0
+        for k, (_, count) in enumerate(entries):
+            w = 2 * count
+            absd[k, :, :w] = absd_all[:, 2 * off : 2 * off + w]
+            sgn[k, :, :w] = sgn_all[:, 2 * off : 2 * off + w]
+            off += count
+
+        parts = tuple(t for comps, _ in entries for (t, _n) in comps)
+        sig = tuple(tuple(n for _, n in comps) for comps, _ in entries)
+        px, py, pz = _assemble_many(parts, sig, L)
+        acc = msm._msm_pair_compiled(px, py, pz, jnp.asarray(absd), jnp.asarray(sgn))
         x, y, z = (jnp.moveaxis(c[..., 0], 0, -1) for c in acc)  # (16, k)
-        return curve.to_affine_host((x, y, z))
+        pts = curve.to_affine_host((x, y, z))
+        if not empty:
+            return pts
+        out, it = [], iter(pts)
+        for idx in range(len(groups_list)):
+            out.append(None if idx in empty else next(it))
+        return out
 
     def complete_square(self, r: int, g0s, g1s):
         """(g1 + r*g0, g1 - r*g0) as device base vectors
@@ -299,8 +443,8 @@ class JaxEngine:
             jnp.asarray(de), jnp.asarray(sge), jnp.asarray(do), jnp.asarray(sgo),
         )
         return (
-            DevicePoints(gx_x[:, :n], gx_y[:, :n], gx_z[:, :n]),
-            DevicePoints(hy_x[:, :n], hy_y[:, :n], hy_z[:, :n]),
+            DevicePoints(*_slice3(gx_x, gx_y, gx_z, n)),
+            DevicePoints(*_slice3(hy_x, hy_y, hy_z, n)),
         )
 
     # -- msm ---------------------------------------------------------------
@@ -340,44 +484,41 @@ class JaxEngine:
             even.x, even.y, even.z, odd.x, odd.y, odd.z,
             jnp.asarray(de), jnp.asarray(sge), jnp.asarray(do), jnp.asarray(sgo),
         )
-        return DevicePoints(x[:, :n], y[:, :n], z[:, :n])
+        return DevicePoints(*_slice3(x, y, z, n))
 
     def fold_bv_many(self, calls):
         """Fused basis folding for N lockstep provers: calls is a list of
         (b, a, even, odd) with IDENTICAL shapes (same schema); one
-        vmapped device dispatch replaces N fold_bv dispatches (through a
-        tunneled device, per-dispatch latency dominates the round)."""
+        vmapped device dispatch replaces N fold_bv dispatches, and ALL
+        padding/stacking runs as one compiled assembler (per-op eager
+        dispatch dominates through a tunneled device)."""
         if len(calls) == 1:
             b, a, even, odd = calls[0]
             return [self.fold_bv(b, a, even, odd)]
-        exs, eys, ezs, oxs, oys, ozs = [], [], [], [], [], []
+        pairs = []
         des, sges, dos, sgos, ns = [], [], [], [], []
         L0 = None
         for b, a, even, odd in calls:
             even = self.basevec(even)
-            odd = self.bv_pad(self.basevec(odd), len(even))
+            odd = self.basevec(odd)
             n = len(even)
             L = _bucket(n)
             if L0 is None:
                 L0 = L
-            assert L == L0, "lockstep fold requires identical shapes"
-            even = _dp_pad(even, L)
-            odd = _dp_pad(odd, L)
+            assert L == L0 and n == ns[0] if ns else True, "lockstep fold requires identical shapes"
+            pairs.append(((even.x, even.y, even.z), (odd.x, odd.y, odd.z)))
             de, sge = _recode_one(int(b))
             do, sgo = _recode_one(int(a))
-            exs.append(even.x), eys.append(even.y), ezs.append(even.z)
-            oxs.append(odd.x), oys.append(odd.y), ozs.append(odd.z)
             des.append(de), sges.append(sge), dos.append(do), sgos.append(sgo)
             ns.append(n)
+        ex, ey, ez, ox, oy, oz = _assemble_fold(tuple(pairs), L0)
         x, y, z = msm._fold_many_compiled(
-            jnp.stack(exs), jnp.stack(eys), jnp.stack(ezs),
-            jnp.stack(oxs), jnp.stack(oys), jnp.stack(ozs),
+            ex, ey, ez, ox, oy, oz,
             jnp.asarray(np.stack(des)), jnp.asarray(np.stack(sges)),
             jnp.asarray(np.stack(dos)), jnp.asarray(np.stack(sgos)),
         )
-        return [
-            DevicePoints(x[i, :, :n], y[i, :, :n], z[i, :, :n]) for i, n in enumerate(ns)
-        ]
+        # all n identical (same schema asserted above): one dispatch
+        return [DevicePoints(*t) for t in _unstack3(x, y, z, ns[0])]
 
     # -- per-round basis folding --------------------------------------------
     def fold_bases(self, b: int, a: int, g_even, g_odd):
