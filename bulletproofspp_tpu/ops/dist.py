@@ -31,6 +31,12 @@ def initialize_from_env() -> bool:
     coord = os.environ.get("BPPP_COORDINATOR")
     if not coord:
         return False
+    # NOTE: set BPPP_NO_COMPILE_CACHE=1 in every process of a
+    # multi-process run BEFORE importing bulletproofspp_tpu.ops — a
+    # shared persistent compile cache lets one process load a cached
+    # executable while a peer compiles, skewing collective setup until
+    # the shutdown barrier times out (observed with the CPU Gloo
+    # backend).
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ["BPPP_NUM_PROCS"]),

@@ -13,6 +13,11 @@ import sys
 def main():
     coord, nprocs, pid = sys.argv[1], sys.argv[2], sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # the SHARED persistent compile cache deadlocks multi-process runs:
+    # one process loads a cached executable while the other compiles,
+    # skewing/mismatching the Gloo communicator setup until the shutdown
+    # barrier times out.  Multi-process workers always compile fresh.
+    os.environ["BPPP_NO_COMPILE_CACHE"] = "1"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
