@@ -4,8 +4,13 @@ Usage:
   python -m bulletproofspp_tpu.cli prove  [spec-file] [witness-file] [commits-file] [proof-file]
   python -m bulletproofspp_tpu.cli verify [spec-file] [commits-file] [proof-file]
   python -m bulletproofspp_tpu.cli test   [spec-file] [witness-file] [commits-file] [proof-file]
+  python -m bulletproofspp_tpu.cli batch-verify spec-file coms1 proof1 [coms2 proof2 ...]
 
 Defaults mirror the reference: schema.json witness.json commits.bin proof.bin.
+``batch-verify`` (beyond the reference, whose README lists it as future
+work) verifies any number of same-schema proofs as ONE merged
+random-linear-combination MSM, decoding all points with one batched
+device sqrt.
 """
 
 from __future__ import annotations
@@ -115,6 +120,34 @@ def _verbose_rerun(setup, values, seed, engine):
         bulletproof.set_round_trace(None)
 
 
+def _batch_verify_cmd(args) -> int:
+    """Decode-and-batch-verify same-schema proofs from wire bytes."""
+    from .core.batch import batch_verify_encoded
+
+    if len(args.files) % 2 != 0:
+        print("batch-verify needs alternating coms/proof file pairs", file=sys.stderr)
+        return 2
+    if args.engine:
+        import os
+
+        os.environ["BPPP_ENGINE"] = args.engine
+    engine = default_engine()
+    with open(args.spec) as f:
+        spec = schema_mod.parse_spec(json.load(f))
+    points = load_points(spec, schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    entries = []
+    for i in range(0, len(args.files), 2):
+        with open(args.files[i], "rb") as f:
+            coms_b = f.read()
+        with open(args.files[i + 1], "rb") as f:
+            proof_b = f.read()
+        entries.append((setup, coms_b, proof_b))
+    ok = batch_verify_encoded(entries, engine)
+    print(f"Batch of {len(entries)}: {ok}")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bulletproofspp-tpu", description="Prove and Verify Bulletproof++ Zero Knowledge Proofs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -128,7 +161,14 @@ def main(argv=None):
         p.add_argument("--verbosity", type=int, default=0)
         p.add_argument("--write-points", type=int, default=0)
         p.add_argument("--engine", choices=["host", "jax"], default=None)
+    bp = sub.add_parser("batch-verify", help="verify N same-schema proofs as one merged MSM")
+    bp.add_argument("spec")
+    bp.add_argument("files", nargs="+", help="alternating coms/proof file pairs")
+    bp.add_argument("--engine", choices=["host", "jax"], default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "batch-verify":
+        return _batch_verify_cmd(args)
 
     with open(args.spec) as f:
         spec = schema_mod.parse_spec(json.load(f))

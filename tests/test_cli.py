@@ -83,3 +83,31 @@ def test_cli_points_file_roundtrip(workdir):
     r = _run(["test", "schema2.json", "witness.json", "commits2.bin", "proof2.bin"], workdir)
     assert r.returncode == 0, r.stderr + r.stdout
     assert (workdir / "proof2.bin").read_bytes() == proof1
+
+
+def test_cli_batch_verify(workdir):
+    # two proofs with different witnesses/seeds, one schema
+    (workdir / "w2.json").write_text(json.dumps([{"amount": 777}]))
+    r = _run(["prove", "schema.json", "witness.json", "c1.bin", "p1.bin"], workdir)
+    assert r.returncode == 0, r.stderr
+    spec2 = dict(SPEC)
+    spec2["randomSeed"] = "another seed"
+    (workdir / "schema2.json").write_text(json.dumps(spec2))
+    r = _run(["prove", "schema2.json", "w2.json", "c2.bin", "p2.bin"], workdir)
+    assert r.returncode == 0, r.stderr
+
+    r = _run(["batch-verify", "schema.json", "c1.bin", "p1.bin", "c2.bin", "p2.bin"], workdir)
+    assert r.returncode == 0, r.stderr
+    assert "Batch of 2: True" in r.stdout
+
+    # tamper one proof byte -> whole batch rejects with exit 1
+    data = bytearray((workdir / "p2.bin").read_bytes())
+    data[40] ^= 1
+    (workdir / "p2.bin").write_bytes(bytes(data))
+    r = _run(["batch-verify", "schema.json", "c1.bin", "p1.bin", "c2.bin", "p2.bin"], workdir)
+    assert r.returncode == 1
+    assert "Batch of 2: False" in r.stdout
+
+    # odd file count -> usage error
+    r = _run(["batch-verify", "schema.json", "c1.bin"], workdir)
+    assert r.returncode == 2
