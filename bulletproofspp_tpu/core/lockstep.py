@@ -9,9 +9,10 @@ only in scalars.  ``LockstepEngine`` runs N provers on N threads and
 rendezvous-batches each synchronizing engine call into one fused
 ``msm_many`` on the inner engine, so the per-call device round-trip
 (which dominates through a tunneled TPU) is paid once per phase for the
-whole batch instead of once per proof.  Non-synchronizing calls (basis
-folds) stay per-proof: they dispatch asynchronously and never block the
-host.
+whole batch instead of once per proof.  Per-round basis folds
+rendezvous too (one vmapped dispatch via ``fold_bv_many``): although
+they never force a sync, N separate dispatches still cost N submission
+latencies through a tunnel.
 
 Proof bytes are identical to individually-proven proofs (each thread has
 its own transcript; only the dispatch is fused) — pinned by
@@ -35,8 +36,7 @@ class _Rendezvous:
         self._pending: dict = {}  # method -> list[args]
         self._gen: dict = {}  # method -> int
         self._results: dict = {}  # (method, gen) -> (list | None, error, consumed)
-
-    _error: BaseException | None = None
+        self._error: BaseException | None = None
 
     def run(self, method: str, args, exec_all):
         with self._cv:

@@ -505,7 +505,8 @@ class JaxEngine:
             L = _bucket(n)
             if L0 is None:
                 L0 = L
-            assert L == L0 and n == ns[0] if ns else True, "lockstep fold requires identical shapes"
+            if L != L0 or (ns and n != ns[0]):
+                raise ValueError("lockstep fold requires identical shapes across provers")
             pairs.append(((even.x, even.y, even.z), (odd.x, odd.y, odd.z)))
             de, sge = _recode_one(int(b))
             do, sgo = _recode_one(int(a))
