@@ -29,6 +29,8 @@ digit streams against two per-lane tables".
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,8 +116,16 @@ def msm_kernel(px, py, pz, absd, sgn):
         # total, each at the fused-padd compute rate
         from . import pallas_field
 
-        fx, fy2, fz = pallas_field.table_flat_pallas(px, py, pz)
-        flat = pallas_field.select_reduce_pallas(fx, fy2, fz, absd, sgn)
+        if os.environ.get("BPPP_MSM_SCRATCH_TABLE"):
+            # single-kernel variant: the table exists only in VMEM
+            # scratch (never materialized in HBM) — measured ~5% slower
+            # end-to-end (the 8x-longer r==0 table-build programs bubble
+            # the block pipeline) but saves (576, L) u32 of HBM: use
+            # when very large L is HBM-capacity-bound
+            flat = pallas_field.select_reduce_fused_pallas(px, py, pz, absd, sgn)
+        else:
+            fx, fy2, fz = pallas_field.table_flat_pallas(px, py, pz)
+            flat = pallas_field.select_reduce_pallas(fx, fy2, fz, absd, sgn)
         W = L // 8
         while W > 128:
             f = min(8, W // 128)

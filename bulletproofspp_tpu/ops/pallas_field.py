@@ -406,6 +406,91 @@ def table_flat_pallas(px, py, pz, interpret: bool = False):
     )(k2, px, py, pz)
 
 
+def _select_reduce_scratch_kernel(k2, d, s, px, py, pz, ox, oy, oz, tx, ty2, tz):
+    """Fully-fused variant: the multiple table for each lane block is
+    built ONCE into persistent VMEM scratch (at the first row program of
+    the block — scratch survives across sequential grid steps on TPU)
+    and reused by all 33 row programs; the table never exists in HBM.
+    Grid is (lane_block, row) with row innermost."""
+    k2v = k2[:]
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _build():
+        bx, by, bz = px[:], py[:], pz[:]
+        blk = bx.shape[-1]
+        zero = jnp.zeros((NLIMB, blk), jnp.uint32)
+        one = jnp.concatenate(
+            [jnp.ones((1, blk), jnp.uint32), jnp.zeros((NLIMB - 1, blk), jnp.uint32)], 0
+        )
+        sub = _make_sub(k2v)
+        entries = [(zero, one, zero), (bx, by, bz)]
+        acc = (bx, by, bz)
+        for _ in range(7):
+            acc = _padd_body(k2v, *acc, bx, by, bz)
+            entries.append(acc)
+        tx[:] = jnp.concatenate([e[0] for e in entries], axis=0)
+        tz[:] = jnp.concatenate([e[2] for e in entries], axis=0)
+        ys = [e[1] for e in entries]
+        nys = [sub(zero, y) for y in ys]
+        ty2[:] = jnp.concatenate(ys + nys, axis=0)
+
+    dv = d[:]
+    iv = dv + 9 * s[:]
+    blk = dv.shape[-1]
+    selx = jnp.zeros((NLIMB, blk), jnp.uint32)
+    sely = jnp.zeros((NLIMB, blk), jnp.uint32)
+    selz = jnp.zeros((NLIMB, blk), jnp.uint32)
+    txv, ty2v, tzv = tx[:], ty2[:], tz[:]
+    for k in range(9):
+        mx = dv == k
+        selx = selx + jnp.where(mx, txv[16 * k : 16 * k + 16, :], jnp.uint32(0))
+        selz = selz + jnp.where(mx, tzv[16 * k : 16 * k + 16, :], jnp.uint32(0))
+    for k in range(18):
+        sely = sely + jnp.where(iv == k, ty2v[16 * k : 16 * k + 16, :], jnp.uint32(0))
+
+    p = (selx, sely, selz)
+    w = blk
+    while w > 128:
+        h = w // 2
+        p = _padd_body(k2v, *(t[:, :h] for t in p), *(t[:, h : 2 * h] for t in p))
+        w = h
+    ox[:], oy[:], oz[:] = p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def select_reduce_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
+    """Table build + one-hot select + first 8:1 reduction in ONE kernel:
+    the table lives only in VMEM scratch (built once per lane block,
+    reused across rows).  px/py/pz: (16, L) projective lanes; absd/sgn:
+    (ROWS, L).  Returns (16, ROWS*L/8) row-major partials."""
+    rows, L = absd.shape
+    assert L % 1024 == 0
+    nblk = L // 1024
+    ms = pl.ANY if interpret else pltpu.VMEM
+    pspec = pl.BlockSpec((NLIMB, 1024), lambda i, r: (0, i), memory_space=ms)
+    dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
+    ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i, r: (0, 0), memory_space=ms)
+    out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
+    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
+    sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
+    return pl.pallas_call(
+        _select_reduce_scratch_kernel,
+        grid=(nblk, rows),
+        in_specs=[kspec, dspec, dspec, pspec, pspec, pspec],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(out, out, out),
+        scratch_shapes=[
+            pltpu.VMEM((144, 1024), jnp.uint32),
+            pltpu.VMEM((288, 1024), jnp.uint32),
+            pltpu.VMEM((144, 1024), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(k2, dflat, sflat, px, py, pz)
+
+
 def _select_reduce_kernel(k2, d, s, tx, ty2, tz, ox, oy, oz):
     """One (lane-block, row) program: one-hot select 1024 lanes' table
     entries for this row's digits, then reduce 1024 -> 128 with three

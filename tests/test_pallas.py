@@ -48,6 +48,11 @@ def test_fused_msm_pipeline_matches_host():
 
     fx, fy2, fz = pallas_field.table_flat_pallas(px, py, pz, interpret=True)
     flat = pallas_field.select_reduce_pallas(fx, fy2, fz, absd, sgn, interpret=True)
+    # the single-kernel scratch-table variant must agree exactly
+    flat2 = pallas_field.select_reduce_fused_pallas(px, py, pz, absd, sgn, interpret=True)
+    import numpy as _np
+    for a, b in zip(flat, flat2):
+        assert _np.array_equal(_np.asarray(a), _np.asarray(b))
     W = L // 8
     while W > 128:
         f = min(8, W // 128)
