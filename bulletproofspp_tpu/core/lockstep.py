@@ -127,6 +127,18 @@ class LockstepEngine:
 
         return self._rv.run("fold_bv", (b, a, even, odd), exec_all)
 
+    def complete_square(self, r, g0s, g1s):
+        """IP-argument square completion (once per proof at argument
+        setup) fuses the same way as the folds."""
+
+        def exec_all(pending):
+            many = getattr(self.inner, "complete_square_many", None)
+            if many is not None:
+                return many(pending)
+            return [self.inner.complete_square(*call) for call in pending]
+
+        return self._rv.run("complete_square", (r, g0s, g1s), exec_all)
+
     # --- pass-through ------------------------------------------------------
     def __getattr__(self, name):
         return getattr(self.inner, name)

@@ -486,6 +486,40 @@ class JaxEngine:
         )
         return DevicePoints(*_slice3(x, y, z, n))
 
+    def complete_square_many(self, calls):
+        """Fused square completion for N lockstep IP-argument provers:
+        calls is a list of (r, g0s, g1s) with identical shapes; one
+        vmapped dispatch (endomorphism computed in-kernel)."""
+        if len(calls) == 1:
+            return [self.complete_square(*calls[0])]
+        pairs = []
+        des, sges, dos, sgos, ns = [], [], [], [], []
+        L0 = None
+        for r, g0s, g1s in calls:
+            g0 = self.basevec(g0s)
+            g1 = self.basevec(g1s)
+            n = len(g0)
+            L = _bucket(n)
+            if L0 is None:
+                L0 = L
+            if L != L0 or (ns and n != ns[0]):
+                raise ValueError("lockstep complete_square requires identical shapes")
+            pairs.append(((g0.x, g0.y, g0.z), (g1.x, g1.y, g1.z)))
+            k1, k2 = glv.split(int(r) % R)
+            de, sge = _recode_one(k1)
+            do, sgo = _recode_one(k2)
+            des.append(de), sges.append(sge), dos.append(do), sgos.append(sgo)
+            ns.append(n)
+        g0x, g0y, g0z, g1x, g1y, g1z = _assemble_fold(tuple(pairs), L0)
+        gx_x, gx_y, gx_z, hy_x, hy_y, hy_z = msm._csq_many_compiled(
+            g0x, g0y, g0z, g1x, g1y, g1z,
+            jnp.asarray(np.stack(des)), jnp.asarray(np.stack(sges)),
+            jnp.asarray(np.stack(dos)), jnp.asarray(np.stack(sgos)),
+        )
+        gxs = [DevicePoints(*t) for t in _unstack3(gx_x, gx_y, gx_z, ns[0])]
+        hys = [DevicePoints(*t) for t in _unstack3(hy_x, hy_y, hy_z, ns[0])]
+        return list(zip(gxs, hys))
+
     def fold_bv_many(self, calls):
         """Fused basis folding for N lockstep provers: calls is a list of
         (b, a, even, odd) with IDENTICAL shapes (same schema); one

@@ -256,6 +256,14 @@ _fold_many_compiled = jax.jit(jax.vmap(fold_mul_kernel))
 _csq_compiled = jax.jit(complete_square_kernel)
 
 
+def _csq_with_endo(g0x, g0y, g0z, g1x, g1y, g1z, de, se, do, so):
+    ex, ey, ez = curve.endo((g0x, g0y, g0z))
+    return complete_square_kernel(g0x, g0y, g0z, ex, ey, ez, g1x, g1y, g1z, de, se, do, so)
+
+
+_csq_many_compiled = jax.jit(jax.vmap(_csq_with_endo))
+
+
 def run_msm(px, py, pz, absd, sgn):
     return _msm_compiled(px, py, pz, absd, sgn)
 

@@ -75,3 +75,23 @@ def test_fold_bv_many_matches_fold_bv():
     for call, got in zip(calls, fused):
         want = eng.fold_bv(*call)
         assert got.to_host() == want.to_host()
+
+
+def test_complete_square_many_matches_single():
+    from bulletproofspp_tpu.core import ec
+    from bulletproofspp_tpu.ops.engine import JaxEngine
+
+    eng = JaxEngine(host_below=0)
+    import random as _r
+
+    r = _r.Random(9)
+    calls = []
+    for i in range(3):
+        g0 = [ec.scalar_mul(r.randrange(1, ec.R), ec.G) for _ in range(4)]
+        g1 = [ec.scalar_mul(r.randrange(1, ec.R), ec.G) for _ in range(3)]
+        calls.append((r.randrange(1, ec.R), g0, g1))
+    fused = eng.complete_square_many(calls)
+    for call, (gx, hy) in zip(calls, fused):
+        wgx, why = eng.complete_square(*call)
+        assert gx.to_host() == wgx.to_host()
+        assert hy.to_host() == why.to_host()
