@@ -124,13 +124,14 @@ def roofline(dev_s: float, n_points: int):
          SOL_pipeline = 40 * L * t_padd; `roofline_util` is how close
          the assembled pipeline (table/select/reduce/Horner launches +
          dispatch) gets to its own kernel's speed of light.
-      2. VPU roofline — measured u32 vector-op peaks (independent
-         streams, depth-256 chains).  One complete add executes ~3.1k
-         u32 multiplies and ~21k add/logic ops per lane (16x16 limb
-         schoolbook x 12.25 field muls + carries); `padd_vpu_util` is
-         the fused kernel's rate against that instruction-stream bound,
-         i.e. how much field-arithmetic headroom remains in the kernel
-         itself.
+      2. VPU roofline — measured u32 vector-op peaks (4 independent
+         depth-2048 mad/add streams; the VPU multi-issues ~3 ops per
+         lane-cycle, so serial chains underestimate by ~3x).  One
+         complete add executes ~3.1k u32 multiplies and ~21k add/logic
+         ops per lane (16x16 limb schoolbook x 12.25 field muls +
+         carries); `padd_kernel_vpu_util` is the fused kernel's rate
+         against that instruction-stream bound — the remaining
+         kernel-level headroom (instruction mix, mad formation).
     """
     import jax
     import jax.numpy as jnp
@@ -155,9 +156,10 @@ def roofline(dev_s: float, n_points: int):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_null = best(jax.jit(lambda x: x + 1), jnp.zeros((1,), jnp.uint32))
-
-    # kernel speed of light: fused complete add at full width, 8 chained
+    # kernel speed of light: fused complete add at full width, 8 chained.
+    # The tunnel RTT fluctuates (observed 24-45 ms spikes); re-measure
+    # null+chain together until self-consistent so a congestion spike
+    # cannot produce a negative kernel time.
     px0, py0, pz0 = curve.from_affine_host([ec.G])
     P = tuple(jnp.tile(t, (1, L)) for t in (px0, py0, pz0))
     REP = 8
@@ -168,39 +170,60 @@ def roofline(dev_s: float, n_points: int):
             p = padd_pallas(p, p, block=512)
         return p
 
-    t_padd = (best(chain_padd, P) - t_null) / REP / L  # s per lane-padd
+    t_null = t_padd = None
+    for _ in range(4):
+        t_null = best(jax.jit(lambda x: x + 1), jnp.zeros((1,), jnp.uint32), iters=5)
+        t_chain = best(chain_padd, P, iters=5)
+        t_padd = (t_chain - t_null) / REP / L  # s per lane-padd
+        if t_chain - t_null > 5e-3:  # chain clearly above RTT noise
+            break
 
     # VPU peaks: 4 independent accumulator streams, deep enough that the
     # compute time dominates the tunnel RTT (4*256*16*L ops ~ 2-8 ms)
     rng = np.random.default_rng(7)
     a = jnp.asarray(rng.integers(1, 1 << 16, size=(16, L), dtype=np.uint32))
-    DEPTH = 256
+    DEPTH = 4096  # compute must dwarf RTT jitter (a few ms) to be valid
+    INNER = 32  # unrolled steps per fori iteration (keeps traces small)
 
+    # per-step varying constants keep XLA from strength-reducing the
+    # chain (acc = acc*x repeated is x^n, computable by squaring!)
     def stream_chain(op):
         @jax.jit
         def f(x):
-            accs = [x + jnp.uint32(i) for i in range(4)]
-            for _ in range(DEPTH):
-                accs = [op(acc, x) for acc in accs]
+            def body(j, accs):
+                c = j.astype(jnp.uint32)
+                out = list(accs)
+                for k in range(INNER):
+                    out = [op(acc, x, c + jnp.uint32(k)) for acc in out]
+                return tuple(out)
+
+            accs = jax.lax.fori_loop(
+                0, DEPTH // INNER, body, tuple(x + jnp.uint32(i) for i in range(4))
+            )
             return accs[0] + accs[1] + accs[2] + accs[3]
 
         return f
 
     n_elem = 16 * L
-    t_mul = best(stream_chain(lambda p, q: p * q), a)
-    r_mul = 4 * DEPTH * n_elem / max(t_mul - t_null, 1e-9)
-    t_add = best(stream_chain(lambda p, q: p + q), a)
-    r_add = 4 * DEPTH * n_elem / max(t_add - t_null, 1e-9)
 
-    # serial-stream instruction model for one complete add (per lane):
+    def rate(op, ops_per_step):
+        t = best(stream_chain(op), a, iters=5)
+        net = t - t_null
+        if net < 5e-3:  # swamped by RTT jitter: no valid measurement
+            return None
+        return 4 * DEPTH * ops_per_step * n_elem / net
+
+    r_mul = rate(lambda p, q, c: p * q + c, 2)  # mad stream
+    r_add = rate(lambda p, q, c: (p + q) ^ c, 2)
+
+    # instruction-stream model for one complete add (per lane):
     # 12.25 field muls x (256 u32 muls + ~1450 add/logic) + ~9 field
-    # add/subs x ~350 add/logic (carries + folds).  The measured kernel
-    # runs FASTER than this model evaluated at the serial-chain u32
-    # rates (the VPU co-issues); a ratio >= 1 therefore means the fused
-    # kernel has no measurable instruction-stream headroom left — it is
-    # a diagnostic, not a utilization.
+    # add/subs x ~350 add/logic (carries + folds), evaluated at the
+    # measured multi-issue peaks.
     mul_ops, other_ops = 12.25 * 256, 12.25 * 1450 + 9 * 350
-    padd_model = mul_ops / r_mul + other_ops / r_add
+    padd_model = (
+        mul_ops / r_mul + other_ops / r_add if (r_mul and r_add) else None
+    )
 
     pipeline_padds = 40 * L
     dev_net = max(dev_s - t_null, 1e-9)
@@ -211,10 +234,12 @@ def roofline(dev_s: float, n_points: int):
         "padd_kernel_ns_per_lane": round(t_padd * 1e9, 2),
         "padds_per_s_per_chip": round(pipeline_padds / dev_net),
         "roofline_util": round(sol_pipeline / dev_net, 3),
-        "u32_mul_gops_serial": round(r_mul / 1e9, 1),
-        "u32_add_gops_serial": round(r_add / 1e9, 1),
-        "padd_serial_model_ns": round(padd_model * 1e9, 2),
-        "padd_beats_serial_model_by": round(padd_model / t_padd, 2),
+        "u32_mad_gops": round(r_mul / 1e9, 1) if r_mul else None,
+        "u32_addxor_gops": round(r_add / 1e9, 1) if r_add else None,
+        "padd_vpu_bound_ns": round(padd_model * 1e9, 2) if padd_model else None,
+        "padd_kernel_vpu_util": (
+            round(padd_model / t_padd, 2) if padd_model else None
+        ),
     }
 
 

@@ -471,20 +471,23 @@ class JaxEngine:
     def fold_bv(self, b: int, a: int, even, odd):
         """Device-resident basis folding: b*E_i + a*O_i lanes, PROJECTIVE
         output kept on device (no normalization — complete formulas accept
-        projective inputs everywhere)."""
+        projective inputs everywhere).  Padding runs in the compiled fold
+        assembler (one dispatch instead of ~8 eager ops)."""
         even = self.basevec(even)
-        odd = self.bv_pad(self.basevec(odd), len(even))
+        odd = self.basevec(odd)
         n = len(even)
         L = _bucket(n)
-        even = _dp_pad(even, L)
-        odd = _dp_pad(odd, L)
+        ex, ey, ez, ox, oy, oz = _assemble_fold(
+            (((even.x, even.y, even.z), (odd.x, odd.y, odd.z)),), L
+        )
         de, sge = _recode_one(int(b))
         do, sgo = _recode_one(int(a))
-        x, y, z = msm._fold_compiled(
-            even.x, even.y, even.z, odd.x, odd.y, odd.z,
-            jnp.asarray(de), jnp.asarray(sge), jnp.asarray(do), jnp.asarray(sgo),
+        x, y, z = msm._fold_many_compiled(
+            ex, ey, ez, ox, oy, oz,
+            jnp.asarray(de)[None], jnp.asarray(sge)[None],
+            jnp.asarray(do)[None], jnp.asarray(sgo)[None],
         )
-        return DevicePoints(*_slice3(x, y, z, n))
+        return DevicePoints(*_unstack3(x, y, z, n)[0])
 
     def complete_square_many(self, calls):
         """Fused square completion for N lockstep IP-argument provers:
