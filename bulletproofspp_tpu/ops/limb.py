@@ -287,11 +287,21 @@ def mul(a, b):
     cols = cols.at[: 2 * NLIMB - 1].add(cols_lo)
     cols = cols.at[1 : 2 * NLIMB].add(cols_hi)
     # BOTH reduction folds run lazily on un-carried columns (cols < 2^21,
-    # so two stacked folds stay < 2*979*2^21 < 2^32), then ONE full carry
-    # and the cheap 6-limb tail fold: 1 Kogge-Stone pass instead of 3.
+    # so two stacked folds stay < 2*979*2^21 < 2^32).  The lazy limbs
+    # keep the VALUE as large as ~2^266 (un-carried limbs < 2^32 at
+    # positions up to 2^240), so after the first full carry the top limb
+    # is up to ~2^11 with ARBITRARY low limbs — _fold_tail's 6-limb
+    # window is only exact for top in {0,1} with a tiny low part (a
+    # saturated-0xFFFF run would silently drop a 2^96 carry; found by an
+    # adversarial sqrt chain, pinned in tests/test_ops_limb.py).  One
+    # more lazy top-fold + full carry brings the value below
+    # 2^256 + 2^43 (top in {0,1}, limbs >= 3 of the overflow zero),
+    # which _fold_tail handles exactly.
     t1 = _lazy_fold(cols)  # 18 lazy limbs < 979*2^21
     t2 = _lazy_fold(t1)  # 16 lazy limbs < 2*979*2^21
-    return _fold_tail(_carry(t2))
+    c = _carry(t2)  # exact; top limb < 2^11
+    t3 = _fold_top_lazy(c, 11)  # value < 2^256 + 2^43
+    return _fold_tail(_carry(t3))
 
 
 def sqr(a):

@@ -97,8 +97,11 @@ def _make_sub(k2):
 def _mul(a, b):
     """(16, BL) x (16, BL) -> a*b mod p.  Partial products accumulated as
     row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors;
-    BOTH reduction folds stack lazily (< 2*979*2^21 < 2^32), so the whole
-    mul needs ONE full Kogge-Stone pass plus the 6-limb tail fold."""
+    BOTH reduction folds stack lazily (< 2*979*2^21 < 2^32).  The lazy
+    value can reach ~2^266, so the first carry's top limb is up to ~2^11
+    with arbitrary low limbs — one more lazy top-fold + full carry is
+    required before the 6-limb tail fold is exact (see ops.limb.mul;
+    dropping it loses a 2^96 carry on saturated-limb inputs)."""
     bl = a.shape[-1]
     acc = jnp.zeros((2 * NLIMB, bl), jnp.uint32)
     for i in range(NLIMB):
@@ -106,7 +109,8 @@ def _mul(a, b):
         lo = prod & MASK  # sums of 16 of these stay < 2^20: no overflow
         hi = prod >> 16
         acc = acc + _pad_rows(lo, i, NLIMB - i) + _pad_rows(hi, i + 1, NLIMB - i - 1)
-    return _fold_tail(_carry(_lazy_fold(_lazy_fold(acc))))
+    c = _carry(_lazy_fold(_lazy_fold(acc)))
+    return _fold_tail(_carry(_fold_top_lazy(c)))
 
 
 def _mul_small(a, k: int):

@@ -120,3 +120,63 @@ def test_jit_composition():
     a, b = _pairs()
     out = limb.unpack_ints(np.asarray(f(limb.pack_ints(a), limb.pack_ints(b))))
     assert out == [((x + y) * (x - y)) % Q for x, y in zip(a, b)]
+
+
+def test_gt_and_sqrt_candidate():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bulletproofspp_tpu.core.fields import Q
+    from bulletproofspp_tpu.ops import limb
+
+    vals_a = [0, 1, Q - 1, 12345, 2**255, 7]
+    vals_b = [0, 2, Q - 1, 12344, 2**255 - 1, Q - 7]
+    a = jnp.asarray(limb.pack_ints(vals_a))
+    b = jnp.asarray(limb.pack_ints(vals_b))
+    got = np.asarray(limb.gt(a, b))
+    want = [x > y for x, y in zip(vals_a, vals_b)]
+    assert list(got) == want
+
+    # principal sqrt: r = v^((Q+1)/4); QRs round-trip, zero -> zero
+    vs = [0] + [pow(v, 2, Q) for v in (3, 5, 2**200 + 7)]
+    r = limb.sqrt_candidate(jnp.asarray(limb.pack_ints(vs)))
+    rn = limb.unpack_ints(np.asarray(limb.normalize(r)))
+    for v, root in zip(vs, rn):
+        assert pow(root, 2, Q) == v % Q
+        assert root == pow(v, (Q + 1) // 4, Q)
+
+
+def test_mul_dropped_carry_regression():
+    """Round-2 bug: _fold_tail's 6-limb window dropped a 2^96 carry when
+    the mul path's first carry produced a large top limb over saturated
+    0xFFFF low limbs (hit by the sqrt Fermat chain for v=(2^200+7)^2;
+    probability ~2^-80 for random inputs, but adversarially reachable).
+    Pins the exact failing operand on BOTH mul implementations."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bulletproofspp_tpu.core.fields import Q
+    from bulletproofspp_tpu.ops import limb
+
+    x = 94329926858193610711403129864407773699609837703255222953893265490612872160623
+    a = jnp.asarray(limb.pack_ints([x] * 8))
+    got = limb.unpack_ints(np.asarray(limb.normalize(limb.mul(a, a))))
+    assert got == [x * x % Q] * 8
+
+    # pallas kernel path (interpret): the fused padd uses the same mul;
+    # exercise it via a point with the offending coordinate arithmetic
+    from bulletproofspp_tpu.ops.pallas_field import _mul as pallas_mul
+    import jax
+
+    got_p = limb.unpack_ints(
+        np.asarray(limb.normalize(jax.jit(pallas_mul)(a, a)))
+    )
+    assert got_p == [x * x % Q] * 8
+
+    # Fermat-chain stress: long square-and-multiply chains walk through
+    # structured values that uncover carry-bound violations
+    for base in (2**200 + 7, 3, Q - 2, 2**128 + 1):
+        v = pow(base, 2, Q)
+        r = limb.sqrt_candidate(jnp.asarray(limb.pack_ints([v])))
+        root = limb.unpack_ints(np.asarray(limb.normalize(r)))[0]
+        assert root == pow(v, (Q + 1) // 4, Q), base
