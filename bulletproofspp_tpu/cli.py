@@ -224,6 +224,11 @@ def main(argv=None):
         if dec is None:
             print("invalid proof file", file=sys.stderr)
             return 2
+        if getattr(args, "verbosity", 0) >= 1:
+            # the reference's verbose mode covers verification too
+            # (reference: app/Main.hs:214-239): structural report of the
+            # decoded proof, minus the prover re-run
+            _verbose_report(setup, dec, args.verbosity)
         ok = rpm.verify(setup, dec, engine)
         print(f"Proof from file: {ok}")
         rc |= 0 if ok else 1

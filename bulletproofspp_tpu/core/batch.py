@@ -37,24 +37,65 @@ def _batch_digest(items, seed: bytes) -> bytes:
     contributing >= 2 proofs could then cancel invalid terms)."""
     from .range_proof import encode_proof
 
-    h = hashlib.sha256(b"bppp batch rlc v1")
-    h.update(seed)
-    h.update(len(items).to_bytes(8, "big"))
+    return _blob_digest(
+        b"bppp batch rlc v1", seed, [encode_proof(setup, rp) for setup, rp in items]
+    )
+
+
+def _rhos(n: int, digest: bytes):
+    """Per-proof weights rho_i = H(batch digest, i) | 1, reduced into
+    [1, R-1].  Forcing the low bit makes the raw value nonzero, but
+    decode_scalar can return R-1 and (R-1)|1 == R == 0 mod R — the
+    reduction plus a counter re-hash guarantees a nonzero weight in the
+    field (the re-hash fires with probability ~2^-256)."""
+    out = []
+    for i in range(n):
+        ctr = 0
+        while True:
+            suffix = str(i).encode() if ctr == 0 else f"{i}.{ctr}".encode()
+            rho = (decode_scalar(hashlib.sha256(b"batch " + digest + suffix).digest(), R) | 1) % R
+            if rho:
+                out.append(rho)
+                break
+            ctr += 1
+    return out
+
+
+def _merged_zero_check(items, rhos, engine) -> bool:
+    """Shared rho-weighted merge + single zero-check MSM.
+
+    items: list of (setup, RangeProof) already structurally validated OR
+    not — each proof's transcript replay happens here and a structurally
+    invalid proof rejects the whole batch.  Scalars for repeated basis
+    points are merged on host so same-schema batches stay near the size
+    of one verification."""
+    collected = []
     for setup, rp in items:
-        coms_bytes, proof_bytes = encode_proof(setup, rp)
+        pairs = collect_pairs(setup, rp)
+        if pairs is None:
+            return False
+        collected.append(pairs)
+    merged: dict = {}
+    for rho, pairs in zip(rhos, collected):
+        for s, p in pairs:
+            if p is None:
+                continue
+            merged[p] = (merged.get(p, 0) + rho * int(s)) % R
+    return engine.msm([(s, p) for p, s in merged.items() if s]) is None
+
+
+def _blob_digest(tag: bytes, seed: bytes, blobs) -> bytes:
+    """SHA-256 over length-prefixed (coms_bytes, proof_bytes) pairs."""
+    h = hashlib.sha256(tag)
+    h.update(seed)
+    blobs = list(blobs)
+    h.update(len(blobs).to_bytes(8, "big"))
+    for coms_bytes, proof_bytes in blobs:
         h.update(len(coms_bytes).to_bytes(8, "big"))
         h.update(coms_bytes)
         h.update(len(proof_bytes).to_bytes(8, "big"))
         h.update(proof_bytes)
     return h.digest()
-
-
-def _rhos(n: int, digest: bytes):
-    """Per-proof weights rho_i = H(batch digest, i), forced odd (nonzero)."""
-    return [
-        decode_scalar(hashlib.sha256(b"batch " + digest + str(i).encode()).digest(), R) | 1
-        for i in range(n)
-    ]
 
 
 def collect_pairs(setup, rp):
@@ -81,20 +122,11 @@ def batch_verify(items, engine=None, seed: bytes = b"") -> bool:
     # structural validation of every proof FIRST (a malformed proof must
     # reject the batch, and must do so before serialization for the rho
     # digest can trip over it)
-    collected = []
     for setup, rp in items:
-        pairs = collect_pairs(setup, rp)
-        if pairs is None:
+        if collect_pairs(setup, rp) is None:
             return False
-        collected.append(pairs)
     rhos = _rhos(len(items), _batch_digest(items, seed))
-    merged: dict = {}
-    for rho, pairs in zip(rhos, collected):
-        for s, p in pairs:
-            if p is None:
-                continue
-            merged[p] = (merged.get(p, 0) + rho * int(s)) % R
-    return engine.msm([(s, p) for p, s in merged.items() if s]) is None
+    return _merged_zero_check(items, rhos, engine)
 
 
 def batch_verify_encoded(entries, engine=None, seed: bytes = b"") -> bool:
@@ -136,27 +168,7 @@ def batch_verify_encoded(entries, engine=None, seed: bytes = b"") -> bool:
         items.append((setup, rp))
 
     # rho digest over the RAW wire bytes (equivalent binding, no re-encode)
-    h = hashlib.sha256(b"bppp batch rlc raw v1")
-    h.update(seed)
-    h.update(len(entries).to_bytes(8, "big"))
-    for _, coms_bytes, proof_bytes in entries:
-        h.update(len(coms_bytes).to_bytes(8, "big"))
-        h.update(coms_bytes)
-        h.update(len(proof_bytes).to_bytes(8, "big"))
-        h.update(proof_bytes)
-    digest = h.digest()
-
-    collected = []
-    for setup, rp in items:
-        pairs = collect_pairs(setup, rp)
-        if pairs is None:
-            return False
-        collected.append(pairs)
-    rhos = _rhos(len(items), digest)
-    merged: dict = {}
-    for rho, pairs in zip(rhos, collected):
-        for s, p in pairs:
-            if p is None:
-                continue
-            merged[p] = (merged.get(p, 0) + rho * int(s)) % R
-    return engine.msm([(s, p) for p, s in merged.items() if s]) is None
+    digest = _blob_digest(
+        b"bppp batch rlc raw v1", seed, [(c, p) for _, c, p in entries]
+    )
+    return _merged_zero_check(items, _rhos(len(items), digest), engine)

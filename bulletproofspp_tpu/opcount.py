@@ -1,0 +1,126 @@
+"""Exact element-op accounting for the Pallas field kernels.
+
+The round-2 roofline model hand-estimated the complete-add instruction
+stream (~3.1k muls + ~21k add/logic per lane) and concluded the fused
+kernel ran at ~26% of the VPU bound.  Hand estimates of carry/concat
+scaffolding are unreliable; this module derives the count from the
+TRACED computation instead: it walks the jaxpr of the actual kernel
+body and charges every primitive by the number of u32 elements it
+produces (the VPU executes elementwise lane-ops; data movement
+primitives — concatenate/pad/broadcast — are charged as copies, which
+Mosaic largely executes as real vector moves between tiles).
+
+Used by bench.py to compute `padd_vpu_bound_ns` honestly, and by the
+kernel-optimization loop to attribute ops to phases.
+
+Reference for what is being modeled: the 256-bit field mul the kernel
+replaces is reference src/Data/Field/Galois/FastPrime/Internal.hs:939-973.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# primitives charged as multiplies (the VPU's expensive int op)
+_MUL_PRIMS = {"mul"}
+# primitives charged as cheap elementwise ops (add/logic/select/compare)
+_ELEM_PRIMS = {
+    "add", "sub", "and", "or", "xor", "shift_right_logical",
+    "shift_left", "shift_right_arithmetic", "not", "neg",
+    "eq", "ne", "lt", "le", "gt", "ge", "select_n", "max", "min",
+    "convert_element_type", "rem", "clamp",
+}
+# data movement charged one op per OUTPUT element (vector copies)
+_COPY_PRIMS = {"concatenate", "pad", "reshape", "rev", "transpose", "squeeze",
+               "expand_dims", "gather", "dynamic_slice", "dynamic_update_slice",
+               "scatter-add", "scatter"}
+# reductions charged one op per INPUT element (the adds of the tree)
+_REDUCE_PRIMS = {"reduce_sum", "reduce_max", "reduce_min", "reduce_and",
+                 "reduce_or", "argmax", "argmin"}
+# shape-only / free
+_FREE_PRIMS = {"broadcast_in_dim", "iota", "slice", "copy", "stop_gradient",
+               "bitcast_convert_type", "integer_pow", "sign"}
+
+
+def _size(v) -> int:
+    return int(np.prod(v.aval.shape)) if v.aval.shape else 1
+
+
+def count_jaxpr(jaxpr, counts=None):
+    """Walk a (closed) jaxpr, returning {category: element_ops}."""
+    if counts is None:
+        counts = collections.Counter()
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in ("pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
+                    "remat", "checkpoint"):
+            inner = eqn.params.get("jaxpr")
+            if inner is not None:
+                count_jaxpr(inner.jaxpr if hasattr(inner, "jaxpr") else inner, counts)
+            continue
+        if name in ("scan", "while", "fori_loop"):
+            # charge body ops x trip count
+            if name == "scan":
+                body = eqn.params["jaxpr"].jaxpr
+                trips = eqn.params["length"]
+            else:
+                body = eqn.params["body_jaxpr"].jaxpr
+                trips = eqn.params.get("trip_count", 0) or 0
+            sub = count_jaxpr(body, collections.Counter())
+            for k, v in sub.items():
+                counts[k] += v * max(trips, 1)
+            continue
+        out_elems = sum(_size(v) for v in eqn.outvars)
+        if name in _MUL_PRIMS:
+            counts["mul"] += out_elems
+        elif name in _ELEM_PRIMS:
+            counts["elem"] += out_elems
+        elif name in _COPY_PRIMS:
+            counts["copy"] += out_elems
+        elif name in _REDUCE_PRIMS:
+            counts["elem"] += sum(_size(v) for v in eqn.invars)
+        elif name in _FREE_PRIMS:
+            counts["free"] += out_elems
+        else:
+            counts[f"other:{name}"] += out_elems
+    return counts
+
+
+def count_fn(fn: Callable, *args, per_lane_axis_size: int | None = None):
+    """Trace fn(*args) and return per-category element-op counts.
+
+    If per_lane_axis_size is given, counts are divided by it (per-lane)."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    counts = count_jaxpr(jaxpr.jaxpr)
+    if per_lane_axis_size:
+        counts = {k: v / per_lane_axis_size for k, v in counts.items()}
+    return dict(counts)
+
+
+def padd_op_counts(width: int = 256):
+    """Per-lane element-op counts of the production complete-add body."""
+    from .ops import pallas_field as pf
+
+    k2 = jnp.zeros((pf.NLIMB, 2), jnp.uint32)
+    arrs = [jnp.zeros((pf.NLIMB, width), jnp.uint32) for _ in range(6)]
+
+    def body(k2, *ps):
+        return pf._padd_body(k2, *ps)
+
+    return count_fn(body, k2, *arrs, per_lane_axis_size=width)
+
+
+def padd_bound_ns(r_mul: float, r_elem: float, width: int = 256):
+    """Instruction-stream lower bound (ns per lane-padd) at the measured
+    multi-issue VPU rates: muls at r_mul ops/s, everything else (adds,
+    logic, copies) at r_elem ops/s.  Copies are charged at the elem rate
+    — Mosaic executes concat/pad as vector moves through the same ports."""
+    c = padd_op_counts(width)
+    mul = c.get("mul", 0.0)
+    other = c.get("elem", 0.0) + c.get("copy", 0.0)
+    return (mul / r_mul + other / r_elem) * 1e9, c

@@ -27,10 +27,6 @@ from . import curve, glv, limb, msm
 
 
 def _bucket(n: int, lo: int = 16) -> int:
-    from . import curve, msm
-
-    if msm._fused_enabled() and curve._pallas_enabled():
-        lo = max(lo, 128)  # small MSMs take the single-launch fused kernel
     b = lo
     while b < n:
         b *= 2

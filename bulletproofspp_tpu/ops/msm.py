@@ -29,7 +29,6 @@ digit streams against two per-lane tables".
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +41,15 @@ from .glv import ROWS
 U32 = jnp.uint32
 
 
-def _fused_enabled() -> bool:
-    import os
-
-    return os.environ.get("BPPP_FUSED_MSM", "") not in ("", "0", "false")
+# Above this lane count the flat multiple tables ((144+288+144, L) u32 =
+# ~2.3 KB/lane of HBM) approach v5e HBM capacity (~9.4 GB at 4M lanes on
+# top of the ~4 GB of inputs/partials); the VMEM-scratch select variant
+# (table built per lane block inside the kernel, never materialized in
+# HBM) is ~5% slower at small L (measured, BENCH_NOTES) but removes the
+# table's HBM footprint entirely.  Static threshold — chosen once here,
+# not via env var, so every call site compiles the same choice
+# (a trace-time env read would be silently frozen by the jit cache).
+_SCRATCH_TABLE_MIN_L = 1 << 21
 
 
 def _table(px, py, pz):
@@ -116,12 +120,12 @@ def msm_kernel(px, py, pz, absd, sgn):
         # total, each at the fused-padd compute rate
         from . import pallas_field
 
-        if os.environ.get("BPPP_MSM_SCRATCH_TABLE"):
-            # single-kernel variant: the table exists only in VMEM
-            # scratch (never materialized in HBM) — measured ~5% slower
-            # end-to-end (the 8x-longer r==0 table-build programs bubble
-            # the block pipeline) but saves (576, L) u32 of HBM: use
-            # when very large L is HBM-capacity-bound
+        if L >= _SCRATCH_TABLE_MIN_L:
+            # HBM-capacity regime: single-kernel variant, table lives
+            # only in VMEM scratch (built once per lane block at the
+            # r==0 program; the 8x-longer build programs bubble the
+            # block pipeline ~5%, measured, but the (576, L) table
+            # never exists in HBM)
             flat = pallas_field.select_reduce_fused_pallas(px, py, pz, absd, sgn)
         else:
             fx, fy2, fz = pallas_field.table_flat_pallas(px, py, pz)
@@ -132,16 +136,6 @@ def msm_kernel(px, py, pz, absd, sgn):
             flat = pallas_field.reduce_block_pallas(flat, factor=f)
             W //= f
         return pallas_field.tail_horner_pallas(flat, rows)
-
-    if _fused_enabled() and curve._pallas_enabled() and L == 128 and rows == ROWS:
-        # proof-sized MSMs: the ENTIRE pipeline in one Pallas launch
-        # (rows*L = 33*128 keeps every lane width 128-aligned for Mosaic).
-        # Opt-in (BPPP_FUSED_MSM=1): device-side it beats the multi-launch
-        # path, but the one-time Mosaic compile is ~10 minutes and through
-        # the measurement tunnel both are RTT-bound anyway.
-        from . import pallas_field
-
-        return pallas_field.msm_fused_pallas(px, py, pz, absd, sgn)
 
     tx, ty2, tz = _table(px, py, pz)
 

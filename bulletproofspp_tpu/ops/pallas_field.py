@@ -25,17 +25,118 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import limb
+
+_KC = None
+
+
+def _kc() -> np.ndarray:
+    """(16, 2) uint32 kernel constants (Mosaic kernels cannot capture
+    array constants, so these ride in as an input): column 0 = K2 =
+    2p - 2^256 + 1 (carried-operand subtract, limb.sub), column 1 =
+    K2L = (-(2^17 - 1) * sum_i 2^{16 i}) mod p (lazy-operand subtract
+    complement offset, see _subs)."""
+    global _KC
+    if _KC is None:
+        from ..core.fields import Q
+
+        s = sum(1 << (16 * i) for i in range(NLIMB))
+        k2l = limb.pack_int((-((2**17 - 1) * s)) % Q)
+        _KC = np.stack([limb._k2(), k2l], axis=1).astype(np.uint32)
+    return _KC
 
 NLIMB = limb.NLIMB
 MASK = limb.MASK
 C_LOW = limb.C_LOW
 B3 = 21
 
-_carry = limb._carry  # concat/shift/compare only: Mosaic-safe
+
+def _sum_rows(x):
+    """Sum over the limb (sublane) axis -> (1, BL), as a halving tree of
+    static slice adds (axis-0 reductions and unsigned reductions are not
+    reliably lowerable on Mosaic; slices + adds are)."""
+    k = x.shape[0]
+    while k > 1:
+        h = k // 2
+        lo, hi = x[:h], x[h : 2 * h]
+        x = jnp.concatenate([lo + hi, x[2 * h :]], axis=0) if k % 2 else lo + hi
+        k = k - h
+    return x
+
+
+def _carry(x):
+    """Exact carry propagation over the limb axis: (K, BL) uint32 of any
+    magnitude -> (K+1, BL) limbs < 2^16, same total value.
+
+    Replaces the Kogge-Stone prefix (log2(K) full-width passes, ~750
+    element-ops/lane at K=16) with a PACKED single-bit ripple resolution
+    (~280 ops/lane):
+
+      1. one split pass: t = (x & MASK) + shift_up(x >> 16).  For ANY
+         uint32 limbs, t <= (2^16-1) + (2^16-1) = 2^17 - 2, so the
+         residual carries g = t >> 16 are single bits, and g=1 forces
+         d = t - 2^16 <= 2^16 - 2 < MASK, hence propagate p = [d == MASK]
+         and g are never both set at a position.
+      2. pack the per-limb bits into ONE uint32 per lane (bit i = limb i)
+         and resolve the whole ripple with an integer addition:
+         U = u << 1 (g_i generates a carry INTO limb i+1), s = v + U;
+         the adder's internal carries are k = s ^ v ^ U, and the true
+         carry into limb i is bit i of  c = k | U.
+         Soundness: the ripple recurrence is c_{i+1} = g_i | (p_i & c_i).
+         In the addition, a carry entering a run of propagate bits
+         (v bits = 1) ripples through it exactly; g_i => p_i = 0 ensures
+         generated and propagated carries never collide (by induction
+         k_i & U_i = 0: if U_i = 1 then v_{i-1} = 0, so
+         k_i = U_{i-1} & k_{i-1} = 0), making c = k + U disjoint and the
+         recurrence exact.
+      3. unpack: out = (d + ((c >> i) & 1)) & MASK per limb i.
+
+    Top-limb safety: the packed words use bits 0..K+1 <= 31 (K <= 30
+    everywhere here), and the total value < 2^{16(K+1)} guarantees no
+    carry out of the extended top row.
+    """
+    hi = x >> 16
+    t = (
+        jnp.concatenate([x & MASK, jnp.zeros_like(x[:1])], axis=0)
+        + jnp.concatenate([jnp.zeros_like(hi[:1]), hi], axis=0)
+    )
+    return _resolve(t)
+
+
+def _carry_pre(x):
+    """_carry for inputs whose limbs are ALREADY <= 2^17 - 2 (e.g. the
+    raw sum of two carried values, or a carried value plus a <= 977*2
+    fold term): the split pass is the identity, so go straight to the
+    packed resolution.  Output gains one row for the possible top carry.
+    """
+    return _resolve(jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0))
+
+
+def _resolve(t):
+    """Packed-ripple resolution for t with limbs <= 2^17 - 2 (so g is a
+    single bit and g=1 forces d < MASK; see _carry)."""
+    K1 = t.shape[0]
+    d = t & MASK
+    g = t >> 16
+    p = (d == MASK).astype(jnp.uint32)
+    # per-row bit weights as splat-constant rows (scalar splats lower
+    # everywhere; vector-shift-by-iota does not)
+    bl = t.shape[1]
+    w = jnp.concatenate(
+        [jnp.full((1, bl), np.uint32(1 << i), jnp.uint32) for i in range(K1)], axis=0
+    )
+    u = _sum_rows(g * w)
+    v = _sum_rows(p * w)
+    uu = u << 1
+    s = v + uu
+    c = (s ^ v ^ uu) | uu
+    # bit i of c, as 0/1 per row ((c & 2^i) == 2^i; unsigned min/ne do
+    # not legalize on Mosaic, eq does)
+    return (d + ((c & w) == w).astype(jnp.uint32)) & MASK
 
 
 def _pad_rows(x, before: int, after: int):
@@ -75,40 +176,80 @@ def _fold_tail(c):
     """6-limb tail fold of a carried value < 2^256 + 2^80 (see ops.limb)."""
     o = c[NLIMB : NLIMB + 1]
     extra = _pad_rows(o * jnp.uint32(C_LOW), 0, 5) + _pad_rows(o, 2, 3)
-    head = _carry(c[:6] + extra)  # (7, ...): top row provably 0
+    # limbs <= (2^16-1) + 977 <= 2^17-2: skip the split pass
+    head = _carry_pre(c[:6] + extra)  # (7, ...): top row provably 0
     return jnp.concatenate([head[:6], c[6:NLIMB]], axis=0)
 
 
 def _add(a, b):
-    return _fold_tail(_carry(_fold_top_lazy(_carry(a + b))))
+    # a+b limbs <= 2*(2^16-1) = 2^17-2 and the folded value's limbs are
+    # <= 2^16-1+977: both carries skip the split pass
+    return _fold_tail(_carry_pre(_fold_top_lazy(_carry_pre(a + b))))
 
 
-def _make_sub(k2):
-    """limb.sub with the K2 fold constant passed as a kernel input
-    (Pallas kernels may not capture array constants)."""
+def _subs(kc):
+    """Subtraction closures over the (16, 2) kernel-constant input
+    (Mosaic rejects captured array constants, so the fold offsets arrive
+    as inputs; see _kc):
 
-    def _sub(a, b):
+      sub(a, b)      — b CARRIED (limbs < 2^16): a + (0xffff - b) + K2,
+                       K2 = 2p - 2^256 + 1 (identical to limb.sub).
+      sub_lazy(a, b) — b LAZY (limbs <= 2^17 - 2, e.g. a raw t0 + t1
+                       sum of two carried values): widen the complement
+                       to W17 = 2^17 - 1 and compensate with
+                       K2L = (-(W17 * sum_i 2^{16 i})) mod p.
+                       Limb sums < 2^16 + 2^17 + 2^16 = 2^18 (uint32-
+                       safe); total value < 2^256 + W17*S + p < 2^259,
+                       so the carried top limb is <= 6, the lazy top-
+                       fold adds <= 6*977 (no overflow), and the
+                       re-carried value is < 2^256 + 6C < 2^256 + 2^36
+                       — inside _fold_tail's exact window.
+    """
+    k2 = kc[:, 0:1]
+    k2l = kc[:, 1:2]
+
+    def sub(a, b):
         w = jnp.uint32(MASK) - b
-        return _fold_tail(_carry(_fold_top_lazy(_carry(a + w + k2))))
+        # first carry sees limbs <= 3*(2^16-1) (full split needed); the
+        # folded value's limbs are <= 2^16-1 + 2*977 (o <= 2): pre-carry
+        return _fold_tail(_carry_pre(_fold_top_lazy(_carry(a + w + k2))))
 
-    return _sub
+    def sub_lazy(a, b):
+        w = jnp.uint32(2 * MASK + 1) - b
+        # folded limbs <= 2^16-1 + 6*977 < 2^17-2 (o <= 6): pre-carry
+        return _fold_tail(_carry_pre(_fold_top_lazy(_carry(a + w + k2l))))
+
+    return sub, sub_lazy
+
+
+def _make_sub(kc):
+    """Carried-operand subtract (table negations)."""
+    return _subs(kc)[0]
 
 
 def _mul(a, b):
     """(16, BL) x (16, BL) -> a*b mod p.  Partial products accumulated as
-    row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors;
-    BOTH reduction folds stack lazily (< 2*979*2^21 < 2^32).  The lazy
-    value can reach ~2^266, so the first carry's top limb is up to ~2^11
-    with arbitrary low limbs — one more lazy top-fold + full carry is
-    required before the 6-limb tail fold is exact (see ops.limb.mul;
-    dropping it loses a 2^96 carry on saturated-limb inputs)."""
+    row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors.
+    Each step combines lo_i with the previous step's hi (both land at
+    offset i, rows < 2^17) so the loop pays ONE padded (32, BL) add per
+    step instead of two; the accumulated columns are the same terms as
+    the lo/hi-separate form, < 2^21.  BOTH reduction folds stack lazily
+    (< 2*979*2^21 < 2^32).  The lazy value can reach ~2^266, so the
+    first carry's top limb is up to ~2^11 with arbitrary low limbs — one
+    more lazy top-fold + full carry is required before the 6-limb tail
+    fold is exact (see ops.limb.mul; dropping it loses a 2^96 carry on
+    saturated-limb inputs)."""
     bl = a.shape[-1]
     acc = jnp.zeros((2 * NLIMB, bl), jnp.uint32)
+    hi_prev = None
     for i in range(NLIMB):
         prod = a[i : i + 1, :] * b  # (16, BL), exact in uint32
-        lo = prod & MASK  # sums of 16 of these stay < 2^20: no overflow
+        lo = prod & MASK
         hi = prod >> 16
-        acc = acc + _pad_rows(lo, i, NLIMB - i) + _pad_rows(hi, i + 1, NLIMB - i - 1)
+        blk = lo if hi_prev is None else lo + hi_prev  # rows < 2^17
+        acc = acc + _pad_rows(blk, i, NLIMB - i)
+        hi_prev = hi
+    acc = acc + _pad_rows(hi_prev, NLIMB, 0)
     c = _carry(_lazy_fold(_lazy_fold(acc)))
     return _fold_tail(_carry(_fold_top_lazy(c)))
 
@@ -117,16 +258,21 @@ def _mul_small(a, k: int):
     return _fold_tail(_carry(_fold_top_lazy(_carry(a * jnp.uint32(k)))))
 
 
-def _padd_body(k2, x1, y1, z1, x2, y2, z2):
-    """RCB complete addition (matches ops.curve.padd op for op)."""
-    m, a, s = _mul, _add, _make_sub(k2)
+def _padd_body(kc, x1, y1, z1, x2, y2, z2):
+    """RCB complete addition (same algebra as ops.curve.padd; the small
+    3x multiple and the Karatsuba-correction subtrahends are restructured
+    for op count: 3*t0 as one mul_small instead of two carried adds, and
+    t0+t1 etc. fed to sub_lazy as raw limb sums — both are ~10x cheaper
+    than a carried field add)."""
+    m, a = _mul, _add
+    s, sl = _subs(kc)
     t0 = m(x1, x2)
     t1 = m(y1, y2)
     t2 = m(z1, z2)
-    t3 = s(m(a(x1, y1), a(x2, y2)), a(t0, t1))
-    t4 = s(m(a(y1, z1), a(y2, z2)), a(t1, t2))
-    t5 = s(m(a(x1, z1), a(x2, z2)), a(t0, t2))
-    t0_3 = a(a(t0, t0), t0)
+    t3 = sl(m(a(x1, y1), a(x2, y2)), t0 + t1)
+    t4 = sl(m(a(y1, z1), a(y2, z2)), t1 + t2)
+    t5 = sl(m(a(x1, z1), a(x2, z2)), t0 + t2)
+    t0_3 = _mul_small(t0, 3)
     t2b = _mul_small(t2, B3)
     z3t = a(t1, t2b)
     t1m = s(t1, t2b)
@@ -137,23 +283,21 @@ def _padd_body(k2, x1, y1, z1, x2, y2, z2):
     return x3, y3, z3
 
 
-def _pdbl_body(k2, x, y, z):
-    """RCB complete doubling (matches ops.curve.pdbl op for op)."""
-    m, a, s = _mul, _add, _make_sub(k2)
+def _pdbl_body(kc, x, y, z):
+    """RCB complete doubling (same algebra as ops.curve.pdbl; the 8x and
+    3x multiples run as single mul_smalls instead of add chains)."""
+    m, a = _mul, _add
+    s, _ = _subs(kc)
     t0 = m(y, y)
-    z3 = a(t0, t0)
-    z3 = a(z3, z3)
-    z3 = a(z3, z3)
+    z3 = _mul_small(t0, 8)
     t1 = m(y, z)
     t2 = _mul_small(m(z, z), B3)
     x3 = m(t2, z3)
     y3 = a(t0, t2)
     z3 = m(t1, z3)
-    t1 = a(t2, t2)
-    t2 = a(t1, t2)
-    t0 = s(t0, t2)
-    y3 = a(x3, m(t0, y3))
-    x3 = m(t0, m(x, y))
+    t0s = s(t0, _mul_small(t2, 3))
+    y3 = a(x3, m(t0s, y3))
+    x3 = m(t0s, m(x, y))
     x3 = a(x3, x3)
     return x3, y3, z3
 
@@ -196,101 +340,6 @@ def _horner_kernel(k2, rx, ry, rz, ox, oy, oz):
     ox[:], oy[:], oz[:] = acc
 
 
-# ---------------------------------------------------------------------------
-# Fully-fused small MSM: table build + one-hot select + in-row tree
-# reduction + Horner, ALL in one Pallas program.  Proof-sized MSMs
-# (<= 128 lanes) otherwise pay ~12 kernel launches of fixed latency;
-# this runs the whole thing in VMEM.
-# ---------------------------------------------------------------------------
-
-
-def _msm_fused_kernel(rows, k2, px, py, pz, dflat_ref, sflat_ref, ox, oy, oz):
-    # digits arrive PRE-FLATTENED (1, rows*L) — sublane->lane reshapes are
-    # not lowerable inside Mosaic
-    k2v = k2[:]
-    bx, by, bz = px[:], py[:], pz[:]  # (16, L)
-    L = bx.shape[-1]
-    dflat = dflat_ref[:]
-    sflat = sflat_ref[:]
-    idx = dflat + 9 * sflat
-
-    # multiple tables 0P..8P at width L (7 unrolled complete adds)
-    zero = jnp.zeros((NLIMB, L), jnp.uint32)
-    one = jnp.concatenate(
-        [jnp.ones((1, L), jnp.uint32), jnp.zeros((NLIMB - 1, L), jnp.uint32)], 0
-    )
-    entries = [(zero, one, jnp.zeros((NLIMB, L), jnp.uint32)), (bx, by, bz)]
-    acc = (bx, by, bz)
-    for _ in range(7):
-        acc = _padd_body(k2v, *acc, bx, by, bz)
-        entries.append(acc)
-
-    # one-hot select into (16, rows*L); Y from the sign-extended table
-    def tile(t):  # (16, L) -> (16, rows*L)
-        return jnp.concatenate([t] * rows, axis=1)
-
-    selx = jnp.zeros((NLIMB, rows * L), jnp.uint32)
-    sely = jnp.zeros((NLIMB, rows * L), jnp.uint32)
-    selz = jnp.zeros((NLIMB, rows * L), jnp.uint32)
-    for k in range(9):
-        ex, ey, ez = entries[k]
-        mx = (dflat == k)
-        selx = selx + jnp.where(mx, tile(ex), jnp.uint32(0))
-        selz = selz + jnp.where(mx, tile(ez), jnp.uint32(0))
-        ney = _make_sub(k2v)(jnp.zeros_like(ey), ey)
-        sely = sely + jnp.where(idx == k, tile(ey), jnp.uint32(0))
-        sely = sely + jnp.where(idx == k + 9, tile(ney), jnp.uint32(0))
-
-    # in-row tree reduction: fixed-width shift-add; partners stay within a
-    # row (i + s < 2s <= L for i < s), garbage lanes are never read
-    sel = (selx, sely, selz)
-    width = rows * L
-    shift = L // 2
-    while shift >= 1:
-        # pltpu.roll requires a non-negative shift: roll by width - shift
-        # is the same circular shift as -shift
-        rolled = tuple(pltpu.roll(t, width - shift, 1) for t in sel)
-        sel = _padd_body(k2v, *sel, *rolled)
-        shift //= 2
-
-    # Horner over rows: row sum r lives at lane r*L
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NLIMB, rows * L), 1)
-
-    def pick(v, r):
-        masked = jnp.where(lane == r * L, v, jnp.uint32(0)).astype(jnp.int32)
-        return jnp.sum(masked, axis=1, keepdims=True, dtype=jnp.int32).astype(jnp.uint32)
-
-    def body(r, acc):
-        x, y, z = acc
-        for _ in range(4):
-            x, y, z = _pdbl_body(k2v, x, y, z)
-        return _padd_body(k2v, x, y, z, pick(sel[0], r), pick(sel[1], r), pick(sel[2], r))
-
-    z1 = jnp.zeros((NLIMB, 1), jnp.uint32)
-    o1 = jnp.concatenate([jnp.ones((1, 1), jnp.uint32), jnp.zeros((NLIMB - 1, 1), jnp.uint32)], 0)
-    accp = jax.lax.fori_loop(0, rows, body, (z1, o1, z1))
-    ox[:], oy[:], oz[:] = accp
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def msm_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
-    """Whole-MSM single-launch kernel for small lane counts (L a power of
-    two, rows*L lanes in VMEM).  Returns projective (16, 1) coords."""
-    rows, L = absd.shape
-    dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
-    sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
-    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
-    return pl.pallas_call(
-        functools.partial(_msm_fused_kernel, rows),
-        in_specs=[spec] * 6,
-        out_specs=(spec, spec, spec),
-        out_shape=(out, out, out),
-        interpret=interpret,
-    )(k2, px, py, pz, dflat, sflat)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def horner_pallas(rx, ry, rz, interpret: bool = False):
     """Full Horner accumulation: inputs (16, ROWS) row sums MSB-first,
@@ -298,7 +347,7 @@ def horner_pallas(rx, ry, rz, interpret: bool = False):
     otherwise ~165 tiny point ops."""
     spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     return pl.pallas_call(
         _horner_kernel,
         in_specs=[spec] * 4,
@@ -348,9 +397,9 @@ def reduce_block_pallas(p, factor: int = 8, interpret: bool = False):
     grid = W // blk
     spec = pl.BlockSpec((NLIMB, blk), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, W // factor), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     return pl.pallas_call(
         _reduce_block_kernel,
         grid=(grid,),
@@ -392,10 +441,10 @@ def table_flat_pallas(px, py, pz, interpret: bool = False):
     assert L % 1024 == 0
     ms = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((NLIMB, 1024), lambda i: (0, i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=ms)
     o9 = pl.BlockSpec((144, 1024), lambda i: (0, i), memory_space=ms)
     o18 = pl.BlockSpec((288, 1024), lambda i: (0, i), memory_space=ms)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     return pl.pallas_call(
         _table_flat_kernel,
         grid=(L // 1024,),
@@ -475,9 +524,9 @@ def select_reduce_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
     pspec = pl.BlockSpec((NLIMB, 1024), lambda i, r: (0, i), memory_space=ms)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 1), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 2), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
     sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
     return pl.pallas_call(
@@ -544,9 +593,9 @@ def select_reduce_pallas(tx_flat, ty2_flat, tz_flat, absd, sgn, interpret: bool 
     # exactly row r's lanes [i*1024, (i+1)*1024)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 1), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 2), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
     sflat = sgn.astype(jnp.uint32).reshape(1, rows * L)
     return pl.pallas_call(
@@ -596,7 +645,7 @@ def tail_horner_pallas(p, rows: int, interpret: bool = False):
     assert x1.shape[-1] == rows * 128
     spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, 1), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     return pl.pallas_call(
         functools.partial(_tail_horner_kernel, rows),
         in_specs=[spec] * 4,
@@ -617,9 +666,9 @@ def padd_pallas(p, q, block: int = 512, interpret: bool = False):
     bl = min(block, L)
     assert L % bl == 0
     spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
-    k2 = jnp.asarray(limb._k2(), jnp.uint32).reshape(NLIMB, 1)
+    k2 = jnp.asarray(_kc())
     ox, oy, oz = pl.pallas_call(
         _kernel,
         grid=(L // bl,),

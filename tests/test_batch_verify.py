@@ -42,3 +42,20 @@ def test_batch_verify_rejects_one_bad():
 
 def test_batch_verify_empty():
     assert batch_verify([], ENGINE)
+
+
+def test_batch_verify_duplicate_identical_proofs():
+    # a batch containing the SAME proof twice must still verify (the rho
+    # weights differ per index, so duplicates do not cancel)
+    setup, proof = _mk(10_000, b"s1")
+    assert batch_verify([(setup, proof), (setup, proof), _mk(777, b"s2")], ENGINE)
+
+
+def test_batch_verify_duplicate_with_bitflip_rejects():
+    # duplicating a proof and flipping one scalar bit in the copy must
+    # reject: the copies get independent rhos, so the flip cannot cancel
+    setup, good = _mk(10_000, b"s1")
+    s0 = good.bp.wit_scalars[0]
+    bad_scalars = [type(s0)(int(s0) ^ 1)] + good.bp.wit_scalars[1:]
+    bad = RangeProof(good.rp_coms, good.input_coms, BPProof(good.bp.responses, bad_scalars))
+    assert not batch_verify([(setup, good), (setup, bad)], ENGINE)

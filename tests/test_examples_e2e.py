@@ -3,6 +3,7 @@
 reference: app/Main.hs:150-152)."""
 
 import json
+import os
 
 import pytest
 
@@ -14,63 +15,32 @@ from bulletproofspp_tpu.cli import _resolve_values
 
 ENGINE = HostEngine()
 
-EX_32BIT = {
-    "basisSeed": "test points",
-    "ranges": [{"base": 9, "min": 0, "max": 4294967296, "isOutput": True}],
-}
-WIT_32BIT = [{"amount": 10000}]
+_EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "examples")
 
-EX_64BIT = {
-    "basisSeed": "test points",
-    "argument": "IP",
-    "ranges": [{"base": 16, "min": 0, "max": 18446744073709551616, "isOutput": True}],
-}
-WIT_64BIT = [{"amount": 1000000000}]
 
-EX_BIN = {
-    "binary": True,
-    "conserved": True,
-    "basisSeed": "test points",
-    "argument": "NL",
-    "ranges": [
-        {"min": 3, "max": 18446744073709551616, "isOutput": True},
-        {"count": 2, "min": 2, "max": 18446744073709551616, "isOutput": False, "isAssumed": True},
-    ],
-    "public": [{"amount": 2, "isOutput": False}],
-}
-WIT_BIN = [{"amount": 124}, {"amount": 1}, {"amount": 121}]
+def load_example(name):
+    """(schema_obj, witness_obj) parsed from the shipped byte-identical
+    reference fixtures (reference: examples/<name>/{schema,witness}.json)."""
+    with open(os.path.join(_EXAMPLES_DIR, name, "schema.json")) as f:
+        spec = json.load(f)
+    with open(os.path.join(_EXAMPLES_DIR, name, "witness.json")) as f:
+        wit = json.load(f)
+    return spec, wit
 
-EX_REC = {
-    "typed": True,
-    "basisSeed": "test points",
-    "ranges": [
-        {"base": 3, "min": 0, "max": 18446744073709551616, "isShared": True, "isOutput": True},
-        {"base": 16, "min": -20, "max": 73786976294838206463, "isShared": True, "isOutput": False},
-        {"base": 5, "min": 1, "max": 625, "isShared": False, "isAssumed": True, "isOutput": False},
-    ],
-    "public": [{"amount": 1, "type": 15, "isOutput": False}],
-}
-WIT_REC = [{"amount": 124, "type": 15}, {"amount": 1, "type": 15}, {"amount": 122, "type": 15}]
+
+EX_32BIT, WIT_32BIT = load_example("32bit")
+EX_64BIT, WIT_64BIT = load_example("64bit")
+EX_BIN, WIT_BIN = load_example("bin_test")
+EX_REC, WIT_REC = load_example("rec_test")
 
 
 def agg_example(count, base):
-    return (
-        {
-            "basisSeed": "test points",
-            "argument": "NL",
-            "ranges": [
-                {
-                    "count": count,
-                    "base": base,
-                    "min": 0,
-                    "max": 18446744073709551616,
-                    "isOutput": True,
-                    "isShared": True,
-                }
-            ],
-        },
-        [{"amount": 10000}] * count,
-    )
+    """The shipped aggregated fixture examples/<count>by64 (asserted to
+    carry the requested shape, so a drifted fixture fails loudly)."""
+    spec, wit = load_example(f"{count}by64")
+    r = spec["ranges"][0]
+    assert r["count"] == count and r["base"] == base and len(wit) == count
+    return spec, wit
 
 
 def run_example(spec_obj, wit_obj, expect_bytes=None):
