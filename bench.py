@@ -216,29 +216,38 @@ def roofline(dev_s: float, n_points: int):
     r_mul = rate(lambda p, q, c: p * q + c, 2)  # mad stream
     r_add = rate(lambda p, q, c: (p + q) ^ c, 2)
 
-    # instruction-stream model for one complete add (per lane):
-    # 12.25 field muls x (256 u32 muls + ~1450 add/logic) + ~9 field
-    # add/subs x ~350 add/logic (carries + folds), evaluated at the
-    # measured multi-issue peaks.
-    mul_ops, other_ops = 12.25 * 256, 12.25 * 1450 + 9 * 350
-    padd_model = (
-        mul_ops / r_mul + other_ops / r_add if (r_mul and r_add) else None
-    )
+    # instruction-stream bound for one complete add, derived from the
+    # TRACED kernel body (opcount walks the jaxpr and charges every
+    # primitive), evaluated at the measured multi-issue peaks.  This
+    # replaces the round-2 hand model that was ~4x optimistic about the
+    # carry/concat scaffolding.
+    padd_model = None
+    if r_mul and r_add:
+        from bulletproofspp_tpu.opcount import padd_bound_ns
+
+        bound_ns, _counts = padd_bound_ns(r_mul, r_add)
+        padd_model = bound_ns * 1e-9
 
     pipeline_padds = 40 * L
     dev_net = max(dev_s - t_null, 1e-9)
     sol_pipeline = pipeline_padds * t_padd
+    roofline_util = sol_pipeline / dev_net  # pipeline vs its own kernel
+    vpu_util = padd_model / t_padd if padd_model else None  # kernel vs chip
     return {
         "tunnel_rtt_ms": round(t_null * 1e3, 2),
         "msm_device_net_ms": round(dev_net * 1e3, 3),
         "padd_kernel_ns_per_lane": round(t_padd * 1e9, 2),
         "padds_per_s_per_chip": round(pipeline_padds / dev_net),
-        "roofline_util": round(sol_pipeline / dev_net, 3),
+        "roofline_util": round(roofline_util, 3),
         "u32_mad_gops": round(r_mul / 1e9, 1) if r_mul else None,
         "u32_addxor_gops": round(r_add / 1e9, 1) if r_add else None,
         "padd_vpu_bound_ns": round(padd_model * 1e9, 2) if padd_model else None,
-        "padd_kernel_vpu_util": (
-            round(padd_model / t_padd, 2) if padd_model else None
+        "padd_kernel_vpu_util": round(vpu_util, 3) if vpu_util else None,
+        # pipeline vs CHIP instruction-stream bound — the honest headline
+        # (product of the two levels); falls back to roofline_util when
+        # the VPU peak measurement is swamped by tunnel RTT jitter
+        "chip_util": (
+            round(roofline_util * vpu_util, 3) if vpu_util else None
         ),
     }
 
@@ -321,6 +330,73 @@ def bench_proofs():
                 "batch_verifies_per_s": round(1 / batch_s, 3),
                 "all_valid": bool(ok and okb and ok_lk),
                 "n": n,
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def bench_mixed():
+    """Mixed-schema serving workload through prove_many (VERDICT r2 item
+    4): interleaved 64-bit / 32-bit / typed-reciprocal requests, bucketed
+    by fusion signature and lockstepped per bucket.  The comparison
+    point is the thread-pipelined rate (the old fallback for
+    heterogeneous batches)."""
+    from bulletproofspp_tpu.cli import _resolve_values
+    from bulletproofspp_tpu.core import range_proof as rpm
+    from bulletproofspp_tpu.core.engine import default_engine
+    from bulletproofspp_tpu.core.lockstep import prove_many
+    from bulletproofspp_tpu.core.transcript import take_points
+    from bulletproofspp_tpu.io_ import schema as schema_mod
+
+    engine = default_engine()
+
+    def make(spec_obj, wit, n, tag):
+        spec = schema_mod.parse_spec(spec_obj)
+        points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+        setup = schema_mod.build_setup(spec, points)
+        return [
+            (setup, _resolve_values(spec, schema_mod.parse_witness(wit)), f"{tag}{i}".encode())
+            for i in range(n)
+        ]
+
+    spec32 = {
+        "basisSeed": "bench points 32",
+        "argument": "NL",
+        "ranges": [{"base": 16, "min": 0, "max": 2**32, "isOutput": True}],
+    }
+    spec_rec = {
+        "basisSeed": "bench points rec",
+        "argument": "NL",
+        "ranges": [
+            {"base": 16, "min": 0, "max": 2**64, "isOutput": True},
+            {"base": 16, "min": 0, "max": 2**64, "isOutput": False},
+        ],
+    }
+    n_each = int(os.environ.get("BENCH_MIXED_N", "8"))
+    items = (
+        make(_BENCH64_SPEC, [{"amount": 12345}], 2 * n_each, "a")
+        + make(spec32, [{"amount": 77}], n_each, "b")
+        + make(spec_rec, [{"amount": 500}, {"amount": 500}], n_each, "c")
+    )
+    # interleave so bucketing (not input order) does the grouping
+    by_tag = [items[i::4] for i in range(4)]
+    items = [it for group in zip(*by_tag) for it in group]
+
+    prove_many(items, engine)  # warm every bucket's fused shapes
+    t0 = time.perf_counter()
+    proofs = prove_many(items, engine)
+    dt = time.perf_counter() - t0
+    ok = all(
+        rpm.verify(setup, pr, engine) for (setup, _v, _s), pr in zip(items, proofs)
+    )
+    print(
+        json.dumps(
+            {
+                "mixed_n": len(items),
+                "mixed_schemas": 3,
+                "mixed_proves_per_s": round(len(items) / dt, 2),
+                "mixed_all_valid": bool(ok),
             }
         ),
         file=sys.stderr,
@@ -422,17 +498,21 @@ def main():
     pps, host_pps, dev_s, roof = bench_msm(n_points, iters)
     if os.environ.get("BENCH_FULL"):
         bench_proofs()
+        bench_mixed()
         bench_batch_1024()
-    # headline: achieved fraction of the per-chip roofline (the measured
-    # fused complete-add rate x the pipeline's 40 adds/lane), replacing
-    # the old Python-host vs_baseline per the BASELINE.json north star
+    # headline: achieved fraction of the CHIP roofline — the product of
+    # pipeline-vs-kernel (roofline_util) and kernel-vs-chip
+    # (padd_kernel_vpu_util from the traced instruction-stream bound).
+    # Round 2 reported only the first factor, which read as "90% of the
+    # chip" while the kernel itself had headroom; vs_baseline is now the
+    # chip-relative number per BASELINE.md's north-star wording.
     print(
         json.dumps(
             {
                 "metric": f"msm_{n_points}pt_throughput",
                 "value": round(pps, 1),
                 "unit": "points/s",
-                "vs_baseline": roof["roofline_util"],
+                "vs_baseline": roof["chip_util"] or roof["roofline_util"],
             }
         )
     )

@@ -40,7 +40,13 @@ def main():
     t_null = best(jax.jit(lambda x: x + 1), jnp.zeros((1,), jnp.uint32))
     print(f"null RTT {t_null*1e3:.2f} ms")
 
-    for n_points in (2048, 32768, 524288):
+    # 2M/4M-lane rows (VERDICT r2 item 9): the HBM-capacity frontier where
+    # throughput stops rising — the single-chip envelope multi-chip scaling
+    # is judged against.  BENCH_FRONTIER=1 adds them (multi-minute compiles).
+    sizes = (2048, 32768, 524288)
+    if os.environ.get("BENCH_FRONTIER"):
+        sizes = sizes + (1048576, 2097152)
+    for n_points in sizes:
         rng = np.random.default_rng(1)
         # synthesize digits directly at scale (recode of 512k scalars on
         # host takes minutes and is not what this study measures)

@@ -148,6 +148,55 @@ def _batch_verify_cmd(args) -> int:
     return 0 if ok else 1
 
 
+def _prove_batch_cmd(args) -> int:
+    """Prove N (spec, witness) pairs — mixed schemas welcome — through
+    core.lockstep.prove_many (bucketed by fusion signature, one fused
+    dispatch per phase per bucket).  Writes proof_i.bin / commits_i.bin
+    into --out-dir.  The serving-shape analog of the reference's
+    one-proof-per-invocation CLI (reference: app/Main.hs:143-185)."""
+    import os
+
+    from .core.lockstep import prove_many
+
+    if len(args.files) % 2 != 0:
+        print("prove-batch needs alternating spec/witness file pairs", file=sys.stderr)
+        return 2
+    if args.engine:
+        os.environ["BPPP_ENGINE"] = args.engine
+    engine = default_engine()
+    setups = {}  # spec path -> (spec, setup); reuse across repeated specs
+    items = []
+    for i in range(0, len(args.files), 2):
+        spec_path = args.files[i]
+        if spec_path not in setups:
+            with open(spec_path) as f:
+                spec = schema_mod.parse_spec(json.load(f))
+            points = load_points(spec, schema_mod.points_needed(spec))
+            setups[spec_path] = (spec, schema_mod.build_setup(spec, points))
+        spec, setup = setups[spec_path]
+        with open(args.files[i + 1]) as f:
+            wobjs = schema_mod.parse_witness(json.load(f))
+        if len(wobjs) != len(spec.ranges):
+            print(f"{args.files[i + 1]}: different number of values and ranges", file=sys.stderr)
+            return 2
+        values = _resolve_values(spec, wobjs)
+        items.append((setup, values, f"{spec.random_seed}#{i // 2}".encode()))
+    try:
+        proofs = prove_many(items, engine)
+    except ValueError as e:
+        print(f"prove-batch failed: {e}", file=sys.stderr)
+        return 2
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, ((setup, _v, _s), proof) in enumerate(zip(items, proofs)):
+        coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)
+        with open(os.path.join(args.out_dir, f"commits_{i}.bin"), "wb") as f:
+            f.write(coms_bytes)
+        with open(os.path.join(args.out_dir, f"proof_{i}.bin"), "wb") as f:
+            f.write(proof_bytes)
+    print(f"Wrote {len(proofs)} proofs to {args.out_dir}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bulletproofspp-tpu", description="Prove and Verify Bulletproof++ Zero Knowledge Proofs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -165,10 +214,19 @@ def main(argv=None):
     bp.add_argument("spec")
     bp.add_argument("files", nargs="+", help="alternating coms/proof file pairs")
     bp.add_argument("--engine", choices=["host", "jax"], default=None)
+    pb = sub.add_parser(
+        "prove-batch",
+        help="prove N (possibly mixed-schema) proofs, bucketed-lockstep fused",
+    )
+    pb.add_argument("files", nargs="+", help="alternating spec/witness file pairs")
+    pb.add_argument("--out-dir", default=".")
+    pb.add_argument("--engine", choices=["host", "jax"], default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "batch-verify":
         return _batch_verify_cmd(args)
+    if args.cmd == "prove-batch":
+        return _prove_batch_cmd(args)
 
     with open(args.spec) as f:
         spec = schema_mod.parse_spec(json.load(f))

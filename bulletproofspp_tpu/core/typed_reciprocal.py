@@ -352,6 +352,20 @@ def make_bp_coeffs(has_types: bool, xp: Fr, r0: Fr, r1: Fr, t: Fr, cs):
 NUM_TERMS = 3  # commitment count before blinding (M, DM, R)
 
 
+def _nrm_rows(rd: RangeDataT) -> int:
+    """Number of committed phase-1 rows for one range (typing row
+    excluded): assumed ranges commit nothing, shared ranges commit one
+    row per digit (multiplicities live in the shared linear slots), and
+    inline ranges commit max(digits, symbols) rows — the exact length
+    make_phase1s pads its row table to."""
+    if rd.is_assumed:
+        return 0
+    if rd.is_shared:
+        return len(rd.base_coeffs)
+    n_sym = rd.base if rd.has_bit else rd.base - 1
+    return max(len(rd.base_coeffs), n_sym)
+
+
 @dataclass
 class SetupTRRP:
     arg_cls: type
@@ -380,7 +394,21 @@ class SetupTRRP:
         shared_bases = [rd.base for rd in live if rd.is_shared]
         m_bases = de_dup(([2] if any_shared_has_bit else []) + shared_bases)
         sorted_bases = de_dup(([2] if any_has_bit else []) + [rd.base for rd in live])
-        nrm_len = sum(len(rd.base_coeffs) + (1 if has_types else 0) for rd in rds)
+        # One norm term per COMMITTED phase-1 row.  The reference sizes this
+        # as one term per digit (reference: TypedReciprocal.hs:344 "nrmLen =
+        # sum ... length . baseCoeffs"), but its own inline phase-1 rows pad
+        # to max(digits, #symbols) = max(len bs, base-1 [+bit])
+        # (reference: TypedReciprocal.hs:150-152 "padRight (maximum $
+        # length <$> wits)"): for any non-shared range with fewer digits
+        # than symbols the symbol-multiplicity rows would overrun the basis
+        # and Haskell's zipWith would silently truncate them out of the
+        # commitment, breaking the reciprocal conservation argument (proofs
+        # never verify).  Every reference example satisfies digits >=
+        # base-1, masking this.  We size the basis to the true row count —
+        # identical to the reference wherever the reference works, and
+        # completing the schema class (e.g. base 16 below 60-bit widths) it
+        # silently cannot serve.  Pinned by tests/test_small_widths.py.
+        nrm_len = sum(_nrm_rows(rd) + (1 if has_types else 0) for rd in rds)
         lin_len = 6 + sum(b - 1 for b in m_bases)
         sp = split_at_maybe(lin_len, rest)
         if sp is None:

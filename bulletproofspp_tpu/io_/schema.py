@@ -99,7 +99,9 @@ def parse_spec(obj: dict) -> ProofSpec:
                 raise SchemaError("Cannot share digits in binary range proof")
             rd = binary_rp.make_range_data_binary(Q, rmin, rmax, is_o, is_a)
         else:
-            base = int(r.get("base", approx_log_w(rmax - rmin)))
+            # dict.get evaluates its default eagerly: approx_log_w raises
+            # ZeroDivisionError on tiny widths even when "base" is present
+            base = int(r["base"]) if "base" in r else approx_log_w(rmax - rmin)
             is_s = bool(r.get("isShared", False))
             rd = typed_reciprocal.make_range_data(Q, base, rmin, rmax, is_s, is_o, is_a)
         if rd is None:
@@ -149,7 +151,7 @@ def points_needed(spec: ProofSpec) -> int:
     """Upper bound on basis points the setup consumes."""
     if spec.is_binary:
         return 4 + sum(len(rd.base_coeffs) for rd in spec.ranges)
-    nrm = sum(len(rd.base_coeffs) + 1 for rd in spec.ranges)
+    nrm = sum(typed_reciprocal._nrm_rows(rd) + 1 for rd in spec.ranges)
     shared = set(rd.base for rd in spec.ranges if rd.is_shared and not rd.is_assumed)
     lin = 6 + sum(b - 1 for b in shared) + 1  # +1 slack for a shared bit base
     return 2 + lin + nrm

@@ -605,7 +605,7 @@ class ShardedJaxEngine(JaxEngine):
 
     def __init__(self, mesh=None, host_below: int | None = None, shard_above: int = 256):
         super().__init__(host_below=host_below)
-        from . import sharded
+        from . import dist, sharded
 
         self.mesh = mesh if mesh is not None else sharded.make_mesh()
         npts = self.mesh.shape["pts"]
@@ -614,6 +614,19 @@ class ShardedJaxEngine(JaxEngine):
                 f"'pts' mesh axis size {npts} must be a power of two "
                 f"(lane buckets are powers of two and must split evenly)"
             )
+        # multi-process: inputs must be placed as GLOBAL arrays (per-spec
+        # donation of local shards, ops.dist) — a mesh that does not span
+        # every process cannot run the collective at all, so fail loudly
+        # at construction instead of at the first msm (VERDICT r2 item 3)
+        self._multiproc = dist.is_multiprocess()
+        if self._multiproc:
+            procs = {d.process_index for d in self.mesh.devices.flat}
+            if procs != set(range(jax.process_count())):
+                raise ValueError(
+                    f"multi-process ShardedJaxEngine needs a global mesh over all "
+                    f"{jax.process_count()} processes (mesh covers {sorted(procs)}); "
+                    f"build it with ops.dist.global_mesh()"
+                )
         self.shard_above = shard_above
         self._step = sharded.sharded_msm_jit(self.mesh)
         self._npts = self.mesh.shape["pts"]
@@ -638,5 +651,24 @@ class ShardedJaxEngine(JaxEngine):
             lanes_pts = lanes_pts + [ec.G] * pad
         absd, sgn = sharded.pad_rows(jnp.asarray(absd), jnp.asarray(sgn), self._nwin)
         px, py, pz = curve.from_affine_host(lanes_pts)
-        acc = self._step(px, py, pz, absd, sgn)
+        if self._multiproc:
+            # every process holds identical host inputs (the replicated
+            # Fiat-Shamir invariant); donate local shards into global
+            # arrays, run ONE jit over the global mesh, fetch the
+            # replicated result (ops.dist placement — the protocol-level
+            # multi-process path, VERDICT r2 item 3)
+            from jax.sharding import PartitionSpec as P
+
+            from . import dist
+
+            specs = (P(None, "pts"),) * 3 + (P("win", "pts"),) * 2
+            args = [
+                dist.place_replicated_host_data(self.mesh, sp, np.asarray(a))
+                for sp, a in zip(specs, (px, py, pz, absd, sgn))
+            ]
+            acc = tuple(
+                jnp.asarray(dist.fetch_replicated(c)) for c in self._step(*args)
+            )
+        else:
+            acc = self._step(px, py, pz, absd, sgn)
         return curve.to_affine_host(acc)[0]

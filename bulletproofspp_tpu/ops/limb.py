@@ -287,20 +287,20 @@ def mul(a, b):
     cols = cols.at[: 2 * NLIMB - 1].add(cols_lo)
     cols = cols.at[1 : 2 * NLIMB].add(cols_hi)
     # BOTH reduction folds run lazily on un-carried columns (cols < 2^21,
-    # so two stacked folds stay < 2*979*2^21 < 2^32).  The lazy limbs
-    # keep the VALUE as large as ~2^266 (un-carried limbs < 2^32 at
-    # positions up to 2^240), so after the first full carry the top limb
-    # is up to ~2^11 with ARBITRARY low limbs — _fold_tail's 6-limb
+    # so two stacked folds stay < 2*979*2^21 < 2^32).  Worst-case column
+    # analysis: 16 un-carried limbs each < 2*979*2^21 bound the VALUE by
+    # 16 * 2*979*2^21 * 2^240 < 2^272, so after the first full carry the
+    # top limb is < 2^16 with ARBITRARY low limbs — _fold_tail's 6-limb
     # window is only exact for top in {0,1} with a tiny low part (a
     # saturated-0xFFFF run would silently drop a 2^96 carry; found by an
     # adversarial sqrt chain, pinned in tests/test_ops_limb.py).  One
     # more lazy top-fold + full carry brings the value below
-    # 2^256 + 2^43 (top in {0,1}, limbs >= 3 of the overflow zero),
-    # which _fold_tail handles exactly.
+    # 2^256 + 977*2^16 < 2^256 + 2^48 (top in {0,1}, limbs >= 4 of the
+    # overflow zero), well inside _fold_tail's 2^256 + 2^80 precondition.
     t1 = _lazy_fold(cols)  # 18 lazy limbs < 979*2^21
     t2 = _lazy_fold(t1)  # 16 lazy limbs < 2*979*2^21
-    c = _carry(t2)  # exact; top limb < 2^11
-    t3 = _fold_top_lazy(c, 11)  # value < 2^256 + 2^43
+    c = _carry(t2)  # exact; top limb < 2^16
+    t3 = _fold_top_lazy(c, 16)  # value < 2^256 + 2^48
     return _fold_tail(_carry(t3))
 
 

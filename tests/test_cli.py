@@ -111,3 +111,37 @@ def test_cli_batch_verify(workdir):
     # odd file count -> usage error
     r = _run(["batch-verify", "schema.json", "c1.bin"], workdir)
     assert r.returncode == 2
+
+
+def test_cli_prove_batch_mixed(workdir):
+    """prove-batch: mixed schemas in one invocation, outputs verify
+    individually (bucketed lockstep under the hood)."""
+    spec16 = {
+        "basisSeed": "test points 16",
+        "argument": "NL",
+        "ranges": [{"base": 16, "min": 0, "max": 65536, "isOutput": True}],
+    }
+    (workdir / "s16.json").write_text(json.dumps(spec16))
+    (workdir / "w16.json").write_text(json.dumps([{"amount": 4242}]))
+    r = _run(
+        [
+            "prove-batch",
+            "--out-dir", "out",
+            "schema.json", "witness.json",
+            "s16.json", "w16.json",
+            "schema.json", "witness.json",
+        ],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Wrote 3 proofs" in r.stdout
+    for i, spec in [(0, "schema.json"), (1, "s16.json"), (2, "schema.json")]:
+        rv = _run(["verify", spec, f"out/commits_{i}.bin", f"out/proof_{i}.bin"], workdir)
+        assert rv.returncode == 0, rv.stderr + rv.stdout
+    # items 0 and 2 share schema+witness but use distinct seeds
+    assert (workdir / "out/proof_0.bin").read_bytes() != (workdir / "out/proof_2.bin").read_bytes()
+
+
+def test_cli_prove_batch_odd_args(workdir):
+    r = _run(["prove-batch", "schema.json"], workdir)
+    assert r.returncode == 2
