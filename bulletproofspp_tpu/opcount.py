@@ -51,12 +51,25 @@ def _size(v) -> int:
     return int(np.prod(v.aval.shape)) if v.aval.shape else 1
 
 
-def count_jaxpr(jaxpr, counts=None):
-    """Walk a (closed) jaxpr, returning {category: element_ops}."""
+def count_jaxpr(jaxpr, counts=None, live=None):
+    """Walk a (closed) jaxpr, returning {category: element_ops}.
+
+    Eqns whose inputs derive only from CONSTANTS (literals / constvars —
+    e.g. the packed-carry weight rows built from jnp.full + concatenate)
+    are charged as free: XLA constant-folds them at compile time, so
+    charging them would overstate the instruction-stream bound and
+    flatter the kernel's utilization number."""
     if counts is None:
         counts = collections.Counter()
+    if live is None:
+        live = set(map(id, jaxpr.invars))
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
+        eqn_live = any(
+            not hasattr(v, "val") and id(v) in live for v in eqn.invars
+        )
+        if eqn_live:
+            live.update(id(v) for v in eqn.outvars)
         if name in ("pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
                     "remat", "checkpoint"):
             inner = eqn.params.get("jaxpr")
@@ -74,6 +87,9 @@ def count_jaxpr(jaxpr, counts=None):
             sub = count_jaxpr(body, collections.Counter())
             for k, v in sub.items():
                 counts[k] += v * max(trips, 1)
+            continue
+        if not eqn_live:
+            counts["const_folded"] += sum(_size(v) for v in eqn.outvars)
             continue
         out_elems = sum(_size(v) for v in eqn.outvars)
         if name in _MUL_PRIMS:
