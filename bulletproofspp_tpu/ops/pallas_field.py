@@ -227,29 +227,56 @@ def _make_sub(kc):
     return _subs(kc)[0]
 
 
+def _merge_off(p1, o1, p2, o2):
+    """Add two row planes placed at limb offsets o1 <= o2 (overlapping)
+    into one plane at offset o1: only the overlapping rows pay adds, the
+    disjoint head/tail rows are concatenated through untouched."""
+    r1, r2 = p1.shape[0], p2.shape[0]
+    e1, e2 = o1 + r1, o2 + r2
+    ov_end = min(e1, e2)
+    assert o1 <= o2 <= e1, (o1, o2, e1)
+    parts = [p1[: o2 - o1]] if o2 > o1 else []
+    parts.append(p1[o2 - o1 : ov_end - o1] + p2[: ov_end - o2])
+    if e1 > ov_end:
+        parts.append(p1[ov_end - o1 :])
+    elif e2 > ov_end:
+        parts.append(p2[ov_end - o2 :])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def _mul(a, b):
-    """(16, BL) x (16, BL) -> a*b mod p.  Partial products accumulated as
-    row-padded (32, BL) planes: 16 broadcast multiplies, no 3-D tensors.
-    Each step combines lo_i with the previous step's hi (both land at
-    offset i, rows < 2^17) so the loop pays ONE padded (32, BL) add per
-    step instead of two; the accumulated columns are the same terms as
-    the lo/hi-separate form, < 2^21.  BOTH reduction folds stack lazily
-    (< 2*979*2^21 < 2^32).  The lazy value can reach ~2^266, so the
-    first carry's top limb is up to ~2^11 with arbitrary low limbs — one
-    more lazy top-fold + full carry is required before the 6-limb tail
-    fold is exact (see ops.limb.mul; dropping it loses a 2^96 carry on
-    saturated-limb inputs)."""
-    bl = a.shape[-1]
-    acc = jnp.zeros((2 * NLIMB, bl), jnp.uint32)
+    """(16, BL) x (16, BL) -> a*b mod p.  Partial products as 16-row
+    planes at limb offsets 0..16: 16 broadcast multiplies, no 3-D
+    tensors.  Step i combines lo_i with the previous step's hi (both
+    land at offset i, rows < 2^17); the 17 planes are then summed by a
+    balanced offset-merge tree (_merge_off) in which only overlapping
+    rows pay adds — ~2.4k element-ops/lane versus ~8.2k for the
+    sequential 32-row padded-accumulator form (the columns are the same
+    terms in a different association order, all partial sums bounded by
+    the final column sums < 16 * 2^17 = 2^21).  BOTH reduction folds
+    stack lazily (< 2*979*2^21 < 2^32).  The lazy value can reach
+    ~2^266, so the first carry's top limb is up to ~2^11 with arbitrary
+    low limbs — one more lazy top-fold + full carry is required before
+    the 6-limb tail fold is exact (see ops.limb.mul; dropping it loses
+    a 2^96 carry on saturated-limb inputs)."""
+    parts = []
     hi_prev = None
     for i in range(NLIMB):
         prod = a[i : i + 1, :] * b  # (16, BL), exact in uint32
         lo = prod & MASK
         hi = prod >> 16
-        blk = lo if hi_prev is None else lo + hi_prev  # rows < 2^17
-        acc = acc + _pad_rows(blk, i, NLIMB - i)
+        parts.append((lo if hi_prev is None else lo + hi_prev, i))  # rows < 2^17
         hi_prev = hi
-    acc = acc + _pad_rows(hi_prev, NLIMB, 0)
+    parts.append((hi_prev, NLIMB))
+    while len(parts) > 1:
+        nxt = [
+            (_merge_off(*parts[j], *parts[j + 1]), parts[j][1])
+            for j in range(0, len(parts) - 1, 2)
+        ]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    acc = parts[0][0]  # (32, BL) at offset 0
     c = _carry(_lazy_fold(_lazy_fold(acc)))
     return _fold_tail(_carry(_fold_top_lazy(c)))
 
