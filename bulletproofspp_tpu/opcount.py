@@ -70,8 +70,8 @@ def count_jaxpr(jaxpr, counts=None, live=None):
         )
         if eqn_live:
             live.update(id(v) for v in eqn.outvars)
-        if name in ("pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
-                    "remat", "checkpoint"):
+        if name in ("pjit", "jit", "closed_call", "custom_jvp_call",
+                    "custom_vjp_call", "remat", "checkpoint"):
             inner = eqn.params.get("jaxpr")
             if inner is not None:
                 count_jaxpr(inner.jaxpr if hasattr(inner, "jaxpr") else inner, counts)
@@ -122,7 +122,7 @@ def padd_op_counts(width: int = 256):
     """Per-lane element-op counts of the production complete-add body."""
     from .ops import pallas_field as pf
 
-    k2 = jnp.zeros((pf.NLIMB, 2), jnp.uint32)
+    k2 = jnp.asarray(pf._kc())
     arrs = [jnp.zeros((pf.NLIMB, width), jnp.uint32) for _ in range(6)]
 
     def body(k2, *ps):

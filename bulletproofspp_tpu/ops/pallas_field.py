@@ -12,7 +12,8 @@ maps to sublanes (16 = 2 x 8 int32 tiles), lanes map to the 128-wide lane
 dimension.  Mosaic restrictions shape the code: no 3-D tensors, no
 reshapes, no dynamic_(update_)slice/scatter — partial-product columns and
 reduction folds are built from static slices + row-padding concatenates
-only; carries are the same Kogge-Stone prefixes as ops.limb.
+only; carries use the packed-bit ripple resolution (_carry), and products
+stay in a 17-row deferred form (c17) between ops (_padd_body docstring).
 
 Correctness is pinned against the exact host engine in interpret mode on
 CPU (tests/test_pallas.py) and exercised compiled on the real chip by the
@@ -35,18 +36,24 @@ _KC = None
 
 
 def _kc() -> np.ndarray:
-    """(16, 2) uint32 kernel constants (Mosaic kernels cannot capture
-    array constants, so these ride in as an input): column 0 = K2 =
-    2p - 2^256 + 1 (carried-operand subtract, limb.sub), column 1 =
-    K2L = (-(2^17 - 1) * sum_i 2^{16 i}) mod p (lazy-operand subtract
-    complement offset, see _subs)."""
+    """(16, 4) uint32 kernel constants (Mosaic kernels cannot capture
+    array constants, so these ride in as an input):
+      col 0: K2    = 2p - 2^256 + 1       (carried 16-row subtrahend)
+      col 1: K2L   = (-(2^17-1)*S16) % p  (lazy 16-row subtrahend)
+      col 2: K2_17 = (1 - 2^272) % p      (carried 17-row subtrahend)
+      col 3: K2L17 = (-(2^17-1)*S17) % p  (lazy 17-row subtrahend)
+    where Sk = sum_{i<k} 2^{16 i}; see _subs for the complement
+    identities each offsets."""
     global _KC
     if _KC is None:
         from ..core.fields import Q
 
-        s = sum(1 << (16 * i) for i in range(NLIMB))
-        k2l = limb.pack_int((-((2**17 - 1) * s)) % Q)
-        _KC = np.stack([limb._k2(), k2l], axis=1).astype(np.uint32)
+        s16 = sum(1 << (16 * i) for i in range(NLIMB))
+        s17 = s16 + (1 << (16 * NLIMB))
+        k2l = limb.pack_int((-((2**17 - 1) * s16)) % Q)
+        k2_17 = limb.pack_int((1 - (1 << 272)) % Q)
+        k2l17 = limb.pack_int((-((2**17 - 1) * s17)) % Q)
+        _KC = np.stack([limb._k2(), k2l, k2_17, k2l17], axis=1).astype(np.uint32)
     return _KC
 
 NLIMB = limb.NLIMB
@@ -122,15 +129,17 @@ def _resolve(t):
     K1 = t.shape[0]
     d = t & MASK
     g = t >> 16
-    p = (d == MASK).astype(jnp.uint32)
     # per-row bit weights as splat-constant rows (scalar splats lower
     # everywhere; vector-shift-by-iota does not)
     bl = t.shape[1]
     w = jnp.concatenate(
         [jnp.full((1, bl), np.uint32(1 << i), jnp.uint32) for i in range(K1)], axis=0
     )
-    u = _sum_rows(g * w)
-    v = _sum_rows(p * w)
+    # g/p are 0/1: gate the weight rows with selects instead of
+    # multiplies (the VPU's u32 mul runs at ~half its add/select rate)
+    zero = jnp.zeros_like(w)
+    u = _sum_rows(jnp.where(g != 0, w, zero))
+    v = _sum_rows(jnp.where(d == MASK, w, zero))
     uu = u << 1
     s = v + uu
     c = (s ^ v ^ uu) | uu
@@ -166,10 +175,25 @@ def _lazy_fold(x):
     )
 
 
-def _fold_top_lazy(c):
-    """Lazy fold of a carried (17, ...) top limb (see ops.limb)."""
-    o = c[NLIMB : NLIMB + 1]
-    return c[:NLIMB] + _pad_rows(o * jnp.uint32(C_LOW), 0, NLIMB - 1) + _pad_rows(o, 2, NLIMB - 3)
+def _fold_rows(c):
+    """Lazily fold every row >= 16 of a CARRIED (R, L) value back into
+    the 16-limb window (generalizes the single-top-limb fold of
+    ops.limb._fold_top_lazy to R <= 19): row 16+j (< 2^16) contributes
+    o_j * 2^{16 j} * (2^32 + 977), i.e. o_j*977 at row j and o_j at
+    row j+2.  Output: 16 LAZY rows, limbs < 2^16 + (R-16)*978*2^16
+    < 2^28 for R <= 19 (u32-safe); callers state the resulting VALUE
+    bound (which drives whether the following carry may skip its split
+    pass and whether _fold_tail's o-in-{0,1} window holds)."""
+    lo, hi = c[:NLIMB], c[NLIMB:]
+    out = lo
+    for j in range(hi.shape[0]):
+        o = hi[j : j + 1]
+        out = (
+            out
+            + _pad_rows(o * jnp.uint32(C_LOW), j, NLIMB - 1 - j)
+            + _pad_rows(o, j + 2, NLIMB - 3 - j)
+        )
+    return out
 
 
 def _fold_tail(c):
@@ -182,42 +206,77 @@ def _fold_tail(c):
 
 
 def _add(a, b):
-    # a+b limbs <= 2*(2^16-1) = 2^17-2 and the folded value's limbs are
-    # <= 2^16-1+977: both carries skip the split pass
-    return _fold_tail(_carry_pre(_fold_top_lazy(_carry_pre(a + b))))
+    """Field add for CARRIED operands of 16 or 17 rows; 17-row (c17)
+    operands may carry values up to ~2^271 but the two operands' values
+    must SUM below 2^272 (callers document this).  Output: fully
+    carried 16 rows (f16)."""
+    Ra, Rb = a.shape[0], b.shape[0]
+    R = max(Ra, Rb)
+    if Ra < R:
+        a = _pad_rows(a, 0, R - Ra)
+    if Rb < R:
+        b = _pad_rows(b, 0, R - Rb)
+    if R == NLIMB:
+        # both < 2^256: a+b limbs <= 2^17-2 and the folded value's
+        # limbs are <= 2^16-1+977: both carries skip the split pass
+        return _fold_tail(_carry_pre(_fold_rows(_carry_pre(a + b))))
+    # 17-row: limbs <= 2^17-2 (pre-carry OK) -> 18 carried rows whose
+    # top row is provably ZERO (value < 2^272), trimmed; folding row 16
+    # (o < 2^16) leaves 16 lazy rows < 2^26 (full carry) and value
+    # < 2^256 + o*(2^32+977) < 2^256 + 2^49 -> tail fold exact.
+    c = _carry_pre(a + b)[: NLIMB + 1]
+    return _fold_tail(_carry(_fold_rows(c)))
 
 
 def _subs(kc):
-    """Subtraction closures over the (16, 2) kernel-constant input
+    """Subtraction closures over the (16, 4) kernel-constant input
     (Mosaic rejects captured array constants, so the fold offsets arrive
-    as inputs; see _kc):
+    as inputs; see _kc).  Both accept 16- OR 17-row operands (the c17
+    deferred-reduction form, value < 2^271):
 
-      sub(a, b)      — b CARRIED (limbs < 2^16): a + (0xffff - b) + K2,
-                       K2 = 2p - 2^256 + 1 (identical to limb.sub).
+      sub(a, b)      — b CARRIED (limbs < 2^16): complement identity
+                       sum_i (0xffff - b_i) 2^{16 i} = (2^{16 R} - 1) - b
+                       so a - b == a + w + ((1 - 2^{16 R}) mod p); the
+                       R=16 offset is K2 = 2p - 2^256 + 1 (identical to
+                       limb.sub), R=17 is K2_17 = (1 - 2^272) mod p.
       sub_lazy(a, b) — b LAZY (limbs <= 2^17 - 2, e.g. a raw t0 + t1
-                       sum of two carried values): widen the complement
-                       to W17 = 2^17 - 1 and compensate with
-                       K2L = (-(W17 * sum_i 2^{16 i})) mod p.
-                       Limb sums < 2^16 + 2^17 + 2^16 = 2^18 (uint32-
-                       safe); total value < 2^256 + W17*S + p < 2^259,
-                       so the carried top limb is <= 6, the lazy top-
-                       fold adds <= 6*977 (no overflow), and the
-                       re-carried value is < 2^256 + 6C < 2^256 + 2^36
-                       — inside _fold_tail's exact window.
-    """
+                       sum of carried values): widen the complement to
+                       W17 = 2^17 - 1 and compensate with
+                       K2L(R) = (-(W17 * sum_{i<R} 2^{16 i})) mod p.
+
+    Bounds (R = 17 worst case): limb sums < 2^16 + 2^17 + 2^16 < 2^19
+    (uint32-safe); total value < 2^271 + W17*S17 + p < 2^274, so the
+    full carry's 18 rows have row 17 <= 3; _fold_rows leaves 16 lazy
+    rows < 2^27 (full re-carry) and value < 2^256 + o_0*(2^32+977)
+    + o_1*(2^48+977*2^16) < 2^256 + 2^51 — inside _fold_tail's exact
+    window.  For R = 16 the value is < 2^256 + W17*S16 + p < 2^259
+    (top limb <= 6, folded limbs <= 2^16-1 + 6*977: pre-carry, value
+    < 2^256 + 2^36), as before."""
     k2 = kc[:, 0:1]
     k2l = kc[:, 1:2]
+    k2_17 = kc[:, 2:3]
+    k2l17 = kc[:, 3:4]
+
+    def _general(a, b, w, k16, k17):
+        Ra, Rb = a.shape[0], b.shape[0]
+        k = k16 if Rb == NLIMB else k17
+        R = max(Ra, Rb)
+        if Ra < R:
+            a = _pad_rows(a, 0, R - Ra)
+        if Rb < R:
+            w = _pad_rows(w, 0, R - Rb)
+        if R > NLIMB:
+            k = _pad_rows(k, 0, R - NLIMB)
+        c = _carry(a + w + k)  # (R+1) carried rows
+        if R == NLIMB:
+            return _fold_tail(_carry_pre(_fold_rows(c)))
+        return _fold_tail(_carry(_fold_rows(c)))
 
     def sub(a, b):
-        w = jnp.uint32(MASK) - b
-        # first carry sees limbs <= 3*(2^16-1) (full split needed); the
-        # folded value's limbs are <= 2^16-1 + 2*977 (o <= 2): pre-carry
-        return _fold_tail(_carry_pre(_fold_top_lazy(_carry(a + w + k2))))
+        return _general(a, b, jnp.uint32(MASK) - b, k2, k2_17)
 
     def sub_lazy(a, b):
-        w = jnp.uint32(2 * MASK + 1) - b
-        # folded limbs <= 2^16-1 + 6*977 < 2^17-2 (o <= 6): pre-carry
-        return _fold_tail(_carry_pre(_fold_top_lazy(_carry(a + w + k2l))))
+        return _general(a, b, jnp.uint32(2 * MASK + 1) - b, k2l, k2l17)
 
     return sub, sub_lazy
 
@@ -244,8 +303,9 @@ def _merge_off(p1, o1, p2, o2):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def _mul(a, b):
-    """(16, BL) x (16, BL) -> a*b mod p.  Partial products as 16-row
+def _mul_c17(a, b):
+    """(16, BL) x (16, BL) -> a*b mod p in the c17 deferred form: 17
+    CARRIED rows (limbs < 2^16), value < 2^266.  Partial products as 16-row
     planes at limb offsets 0..16: 16 broadcast multiplies, no 3-D
     tensors.  Step i combines lo_i with the previous step's hi (both
     land at offset i, rows < 2^17); the 17 planes are then summed by a
@@ -277,12 +337,35 @@ def _mul(a, b):
             nxt.append(parts[-1])
         parts = nxt
     acc = parts[0][0]  # (32, BL) at offset 0
-    c = _carry(_lazy_fold(_lazy_fold(acc)))
-    return _fold_tail(_carry(_fold_top_lazy(c)))
+    return _carry(_lazy_fold(_lazy_fold(acc)))
 
 
-def _mul_small(a, k: int):
-    return _fold_tail(_carry(_fold_top_lazy(_carry(a * jnp.uint32(k)))))
+def _mul(a, b):
+    """Fully reduced product: f16 x f16 -> f16 (carried 16 rows,
+    value < 2^256).  Use for values that feed another mul or leave the
+    kernel; additive consumers should take _mul_c17 and absorb the top
+    row into their own reduction."""
+    c = _mul_c17(a, b)
+    # folded limbs < 2^16 + 2^16*977 < 2^26 (full carry); value
+    # < 2^256 + 2^49 -> tail fold exact
+    return _fold_tail(_carry(_fold_rows(c)))
+
+
+def _mul_small(a, k: int, c17: bool = False):
+    """a * k mod p for a small host constant 0 <= k <= 32; a carried
+    16 or 17 rows (17-row value < 2^266, so k*value < 2^271).  Output
+    f16, or the c17 form when c17=True (17 carried rows, value
+    < k * 2^266 < 2^271)."""
+    assert 0 <= k <= 32, k
+    c = _carry(a * jnp.uint32(k))  # product limbs < k * 2^16 < 2^21
+    if a.shape[0] == NLIMB + 1:
+        # value < k * 2^266 < 2^272 for k <= 32: row 17 provably zero
+        c = c[: NLIMB + 1]
+    if c17:
+        return c
+    # folded limbs < 2^16 + 2^15*977 < 2^26 (full carry); value
+    # < 2^256 + 2^15*(2^32+977) < 2^256 + 2^48 -> tail fold exact
+    return _fold_tail(_carry(_fold_rows(c)))
 
 
 def _padd_body(kc, x1, y1, z1, x2, y2, z2):
@@ -290,42 +373,53 @@ def _padd_body(kc, x1, y1, z1, x2, y2, z2):
     3x multiple and the Karatsuba-correction subtrahends are restructured
     for op count: 3*t0 as one mul_small instead of two carried adds, and
     t0+t1 etc. fed to sub_lazy as raw limb sums — both are ~10x cheaper
-    than a carried field add)."""
-    m, a = _mul, _add
+    than a carried field add).
+
+    Reduction scheduling: every product stays in the 17-row carried c17
+    form (value < 2^266) because every consumer here is additive — the
+    adds/subs absorb the extra top row into the single reduction they
+    run anyway, so each mul skips its ~560-op/lane final fold; only
+    values feeding another mul (the t3/t4/t5 sub outputs, t0_3, z3t,
+    t1m, y3b) or leaving the kernel are fully carried f16."""
+    mc, a = _mul_c17, _add
     s, sl = _subs(kc)
-    t0 = m(x1, x2)
-    t1 = m(y1, y2)
-    t2 = m(z1, z2)
-    t3 = sl(m(a(x1, y1), a(x2, y2)), t0 + t1)
-    t4 = sl(m(a(y1, z1), a(y2, z2)), t1 + t2)
-    t5 = sl(m(a(x1, z1), a(x2, z2)), t0 + t2)
+    t0 = mc(x1, x2)
+    t1 = mc(y1, y2)
+    t2 = mc(z1, z2)
+    # t0+t1 etc: 17-row lazy sums, limbs <= 2^17-2 (sub_lazy b-operand)
+    t3 = sl(mc(a(x1, y1), a(x2, y2)), t0 + t1)
+    t4 = sl(mc(a(y1, z1), a(y2, z2)), t1 + t2)
+    t5 = sl(mc(a(x1, z1), a(x2, z2)), t0 + t2)
     t0_3 = _mul_small(t0, 3)
-    t2b = _mul_small(t2, B3)
-    z3t = a(t1, t2b)
+    t2b = _mul_small(t2, B3, c17=True)  # value < 21*2^266 < 2^271
+    z3t = a(t1, t2b)  # operand values sum < 2^266 + 2^271 < 2^272
     t1m = s(t1, t2b)
     y3b = _mul_small(t5, B3)
-    x3 = s(m(t3, t1m), m(t4, y3b))
-    y3 = a(m(y3b, t0_3), m(t1m, z3t))
-    z3 = a(m(z3t, t4), m(t0_3, t3))
+    x3 = s(mc(t3, t1m), mc(t4, y3b))
+    y3 = a(mc(y3b, t0_3), mc(t1m, z3t))
+    z3 = a(mc(z3t, t4), mc(t0_3, t3))
     return x3, y3, z3
 
 
 def _pdbl_body(kc, x, y, z):
     """RCB complete doubling (same algebra as ops.curve.pdbl; the 8x and
-    3x multiples run as single mul_smalls instead of add chains)."""
-    m, a = _mul, _add
+    3x multiples run as single mul_smalls instead of add chains).
+    Reduction scheduling as in _padd_body: products with additive
+    consumers stay c17; mul inputs (z3, t1, t2, t0s, m(x,y)) and kernel
+    outputs are f16."""
+    m, mc, a = _mul, _mul_c17, _add
     s, _ = _subs(kc)
-    t0 = m(y, y)
+    t0 = mc(y, y)
     z3 = _mul_small(t0, 8)
     t1 = m(y, z)
-    t2 = _mul_small(m(z, z), B3)
-    x3 = m(t2, z3)
-    y3 = a(t0, t2)
+    t2 = _mul_small(mc(z, z), B3)
+    x3 = mc(t2, z3)
+    y3 = a(t0, t2)  # 2^266 + 2^256 < 2^272
     z3 = m(t1, z3)
-    t0s = s(t0, _mul_small(t2, 3))
-    y3 = a(x3, m(t0s, y3))
-    x3 = m(t0s, m(x, y))
-    x3 = a(x3, x3)
+    t0s = s(t0, _mul_small(t2, 3, c17=True))
+    y3 = a(x3, mc(t0s, y3))  # 2^266 + 2^266 < 2^272
+    x3 = mc(t0s, m(x, y))
+    x3 = a(x3, x3)  # 2 * 2^266 < 2^272
     return x3, y3, z3
 
 
@@ -424,7 +518,7 @@ def reduce_block_pallas(p, factor: int = 8, interpret: bool = False):
     grid = W // blk
     spec = pl.BlockSpec((NLIMB, blk), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, W // factor), jnp.uint32)
     k2 = jnp.asarray(_kc())
     return pl.pallas_call(
@@ -468,7 +562,7 @@ def table_flat_pallas(px, py, pz, interpret: bool = False):
     assert L % 1024 == 0
     ms = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((NLIMB, 1024), lambda i: (0, i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 4), lambda i: (0, 0), memory_space=ms)
     o9 = pl.BlockSpec((144, 1024), lambda i: (0, i), memory_space=ms)
     o18 = pl.BlockSpec((288, 1024), lambda i: (0, i), memory_space=ms)
     k2 = jnp.asarray(_kc())
@@ -551,7 +645,7 @@ def select_reduce_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
     pspec = pl.BlockSpec((NLIMB, 1024), lambda i, r: (0, i), memory_space=ms)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 2), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 4), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
     k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
@@ -620,7 +714,7 @@ def select_reduce_pallas(tx_flat, ty2_flat, tz_flat, absd, sgn, interpret: bool 
     # exactly row r's lanes [i*1024, (i+1)*1024)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 2), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 4), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
     k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
@@ -693,7 +787,7 @@ def padd_pallas(p, q, block: int = 512, interpret: bool = False):
     bl = min(block, L)
     assert L % bl == 0
     spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
     k2 = jnp.asarray(_kc())
     ox, oy, oz = pl.pallas_call(
