@@ -221,12 +221,13 @@ def roofline(dev_s: float, n_points: int):
     # primitive), evaluated at the measured multi-issue peaks.  This
     # replaces the round-2 hand model that was ~4x optimistic about the
     # carry/concat scaffolding.
-    padd_model = None
+    padd_model = padd_tile_model = None
     if r_mul and r_add:
         from bulletproofspp_tpu.opcount import padd_bound_ns
 
-        bound_ns, _counts = padd_bound_ns(r_mul, r_add)
+        bound_ns, tile_bound_ns, _counts = padd_bound_ns(r_mul, r_add)
         padd_model = bound_ns * 1e-9
+        padd_tile_model = tile_bound_ns * 1e-9
 
     pipeline_padds = 40 * L
     dev_net = max(dev_s - t_null, 1e-9)
@@ -242,6 +243,12 @@ def roofline(dev_s: float, n_points: int):
         "u32_mad_gops": round(r_mul / 1e9, 1) if r_mul else None,
         "u32_addxor_gops": round(r_add / 1e9, 1) if r_add else None,
         "padd_vpu_bound_ns": round(padd_model * 1e9, 2) if padd_model else None,
+        # same stream charged with (8,128) vector-register tile padding —
+        # the floor Mosaic can actually issue for this op sequence; the
+        # kernel's practical speed of light lies between the two bounds
+        "padd_tile_bound_ns": (
+            round(padd_tile_model * 1e9, 2) if padd_tile_model else None
+        ),
         "padd_kernel_vpu_util": round(vpu_util, 3) if vpu_util else None,
         # pipeline vs CHIP instruction-stream bound — the honest headline
         # (product of the two levels); falls back to roofline_util when

@@ -51,6 +51,21 @@ def _size(v) -> int:
     return int(np.prod(v.aval.shape)) if v.aval.shape else 1
 
 
+def _size_tiled(v) -> int:
+    """Size after padding to the VPU's (8, 128) vector-register tile:
+    the sublane (second-minor) axis rounds up to 8, lanes to 128.  An op
+    on a (17, L) tensor executes 24 rows of work; a (1, L) op executes
+    8 — this is the charge model that reflects what Mosaic actually
+    issues, where _size charges the pure element stream."""
+    shape = v.aval.shape
+    if not shape:
+        return 8 * 128  # scalar splat still occupies a register op
+    lanes = -(-shape[-1] // 128) * 128
+    rows = -(-shape[-2] // 8) * 8 if len(shape) >= 2 else 8
+    lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    return lead * rows * lanes
+
+
 def count_jaxpr(jaxpr, counts=None, live=None):
     """Walk a (closed) jaxpr, returning {category: element_ops}.
 
@@ -92,18 +107,24 @@ def count_jaxpr(jaxpr, counts=None, live=None):
             counts["const_folded"] += sum(_size(v) for v in eqn.outvars)
             continue
         out_elems = sum(_size(v) for v in eqn.outvars)
+        out_tiled = sum(_size_tiled(v) for v in eqn.outvars)
         if name in _MUL_PRIMS:
             counts["mul"] += out_elems
+            counts["mul_tiled"] += out_tiled
         elif name in _ELEM_PRIMS:
             counts["elem"] += out_elems
+            counts["elem_tiled"] += out_tiled
         elif name in _COPY_PRIMS:
             counts["copy"] += out_elems
+            counts["copy_tiled"] += out_tiled
         elif name in _REDUCE_PRIMS:
             counts["elem"] += sum(_size(v) for v in eqn.invars)
+            counts["elem_tiled"] += sum(_size_tiled(v) for v in eqn.invars)
         elif name in _FREE_PRIMS:
             counts["free"] += out_elems
         else:
             counts[f"other:{name}"] += out_elems
+            counts[f"other_tiled:{name}"] += out_tiled
     return counts
 
 
@@ -132,11 +153,25 @@ def padd_op_counts(width: int = 256):
 
 
 def padd_bound_ns(r_mul: float, r_elem: float, width: int = 256):
-    """Instruction-stream lower bound (ns per lane-padd) at the measured
+    """Instruction-stream lower bounds (ns per lane-padd) at the measured
     multi-issue VPU rates: muls at r_mul ops/s, everything else (adds,
     logic, copies) at r_elem ops/s.  Copies are charged at the elem rate
-    — Mosaic executes concat/pad as vector moves through the same ports."""
+    — Mosaic executes concat/pad as vector moves through the same ports.
+
+    Returns (element_bound, tile_bound, counts): the element bound
+    charges the pure data stream (what an ideally-packed kernel would
+    execute); the tile bound charges each op padded to the VPU's (8,128)
+    vector-register tile (what Mosaic actually issues for the traced op
+    sequence — e.g. every op on a 17-row c17 tensor executes 24 rows).
+    The kernel's achievable floor lies between them: tile padding is
+    real, but some of it could be reclaimed by row-alignment redesign."""
     c = padd_op_counts(width)
     mul = c.get("mul", 0.0)
     other = c.get("elem", 0.0) + c.get("copy", 0.0)
-    return (mul / r_mul + other / r_elem) * 1e9, c
+    mul_t = c.get("mul_tiled", 0.0)
+    other_t = c.get("elem_tiled", 0.0) + c.get("copy_tiled", 0.0)
+    return (
+        (mul / r_mul + other / r_elem) * 1e9,
+        (mul_t / r_mul + other_t / r_elem) * 1e9,
+        c,
+    )
