@@ -197,6 +197,94 @@ def _prove_batch_cmd(args) -> int:
     return 0
 
 
+def _mp_party_cmd(args):
+    """Internal: one party process of the mp-demo (spawned over TCP)."""
+    from .core.multiparty import SocketChannel, run_party_share
+    from .core.transcript import hash_to_scalar
+
+    ch = SocketChannel.connect(args.host, args.port)
+    try:
+        blind = hash_to_scalar(b"mp demo blind", bytes([args.index]))
+        run_party_share(ch, args.value, blind, seed=bytes([args.index]))
+    finally:
+        ch.close()
+    return 0
+
+
+def _mp_demo_cmd(args):
+    """Multiparty aggregated-opening proof of knowledge, end to end:
+    N parties (TCP subprocesses by default, --local for threads) each
+    commit a secret Pedersen opening; the dealer aggregates in the
+    group, broadcasts the Fiat-Shamir challenge, sums the response
+    shares, and verifies the Schnorr check on the aggregates.  Exceeds
+    the reference, which defines the dealer/client combinators but
+    never wires them (src/ZKP.hs:106-131)."""
+    from .core.multiparty import (
+        LocalChannel,
+        dealer_aggregated_opening,
+        make_dealer_listener,
+        run_party_share,
+        SocketDealerChannel,
+    )
+    from .core.transcript import Transcript, hash_to_scalar
+
+    n = args.parties
+    values = (
+        [int(v) for v in args.values.split(",")]
+        if args.values
+        else [101 + i for i in range(n)]
+    )
+    if len(values) != n:
+        print("need exactly --parties values", file=sys.stderr)
+        return 2
+
+    if args.local:
+        import threading
+
+        chans = [LocalChannel() for _ in range(n)]
+        threads = [
+            threading.Thread(
+                target=run_party_share,
+                args=(chans[i], values[i],
+                      hash_to_scalar(b"mp demo blind", bytes([i])), bytes([i])),
+            )
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        ok, c_agg = dealer_aggregated_opening(chans, Transcript(None))
+        for t in threads:
+            t.join()
+    else:
+        import subprocess
+
+        listener, port = make_dealer_listener()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "bulletproofspp_tpu.cli", "mp-party",
+                 "127.0.0.1", str(port), str(values[i]), str(i)]
+            )
+            for i in range(n)
+        ]
+        chans = []
+        try:
+            for _ in range(n):
+                sock, _ = listener.accept()
+                chans.append(SocketDealerChannel(sock))
+            ok, c_agg = dealer_aggregated_opening(chans, Transcript(None))
+        finally:
+            for c in chans:
+                c.close()
+            listener.close()
+            for p in procs:
+                p.wait(timeout=30)
+
+    mode = "threads" if args.local else f"{n} TCP subprocesses"
+    print(f"Aggregate commitment x: {c_agg[0]:064x}")
+    print(f"Multiparty opening proof ({mode}): {ok}")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bulletproofspp-tpu", description="Prove and Verify Bulletproof++ Zero Knowledge Proofs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -221,12 +309,32 @@ def main(argv=None):
     pb.add_argument("files", nargs="+", help="alternating spec/witness file pairs")
     pb.add_argument("--out-dir", default=".")
     pb.add_argument("--engine", choices=["host", "jax"], default=None)
+    md = sub.add_parser(
+        "mp-demo",
+        help="multiparty aggregated-opening proof across N party "
+        "subprocesses over TCP (dealer/client contract the reference "
+        "only stubs, src/ZKP.hs:106-131)",
+    )
+    md.add_argument("--parties", type=int, default=3)
+    md.add_argument("--values", default=None,
+                    help="comma-separated party values (default 101,102,...)")
+    md.add_argument("--local", action="store_true",
+                    help="in-process threads instead of TCP subprocesses")
+    mp = sub.add_parser("mp-party")  # internal: spawned by mp-demo
+    mp.add_argument("host")
+    mp.add_argument("port", type=int)
+    mp.add_argument("value", type=int)
+    mp.add_argument("index", type=int)
     args = ap.parse_args(argv)
 
     if args.cmd == "batch-verify":
         return _batch_verify_cmd(args)
     if args.cmd == "prove-batch":
         return _prove_batch_cmd(args)
+    if args.cmd == "mp-demo":
+        return _mp_demo_cmd(args)
+    if args.cmd == "mp-party":
+        return _mp_party_cmd(args)
 
     with open(args.spec) as f:
         spec = schema_mod.parse_spec(json.load(f))

@@ -180,10 +180,11 @@ def run_dealer(channels, transcript):
     per round, receive one commitment batch from every party, sum the
     vectors elementwise in the group (zipWith (^+^)), feed the aggregate
     to the real transcript oracle, and broadcast the challenges; when all
-    parties send final openings, return their elementwise scalar sum and
-    the aggregated commitment transcript.
+    parties send final openings, return their elementwise scalar sum, the
+    aggregated commitment transcript, and the broadcast challenges.
     """
     rounds = []
+    challenges = []
     while True:
         msgs = [ch.dealer_recv() for ch in channels]
         kinds = {m[0] for m in msgs}
@@ -196,7 +197,7 @@ def run_dealer(channels, transcript):
             from .fields import R
 
             summed = [sum(int(m[1][i]) for m in msgs) % R for i in range(n)]
-            return summed, rounds
+            return summed, rounds, challenges
         if kinds != {"commit"}:
             raise ValueError("parties out of sync (mixed commit/done round)")
         n = len(msgs[0][1])
@@ -208,5 +209,65 @@ def run_dealer(channels, transcript):
             agg = [ec.add(a, p) for a, p in zip(agg, pts)]
         rounds.append(agg)
         out = transcript.oracle(agg, k)
+        challenges.append(list(out))
         for ch in channels:
             ch.dealer_send(out)
+
+
+# ---------------------------------------------------------------------------
+# Aggregated-opening proof of knowledge: the executable end-to-end demo
+# of the dealer/client contract (which the reference defines but never
+# wires to anything, ZKP.hs:106-131 + app/Main.hs).  N parties each hold
+# a secret Pedersen opening (v_i, r_i) of C_i = v_i*B0 + r_i*B1; the
+# dealer aggregates C = sum C_i and A = sum A_i (A_i the Schnorr nonce
+# commitments), broadcasts the Fiat-Shamir challenge e, sums the
+# parties' response shares, and checks  s*B0 + u*B1 == A + e*C  — a
+# proof of knowledge of the opening of the AGGREGATE commitment.
+#
+# Scope matches the reference's dealer semantics: honest-parties
+# additive aggregation (no rogue-key hardening — parties are cooperating
+# provers of a joint statement, not mutually adversarial signers); a
+# full multiparty Bulletproofs++ prover additionally needs MPC
+# cross-terms, which the reference does not implement either.
+# ---------------------------------------------------------------------------
+
+MP_BASIS_SEED = b"bppp multiparty demo basis"
+
+
+def mp_basis():
+    from .transcript import take_points
+
+    return take_points(MP_BASIS_SEED, 2)
+
+
+def run_party_share(channel, value: int, blind: int, seed: bytes):
+    """One party's client side: commit (C_i, A_i), receive e, respond
+    with the additive response share (s_i, u_i)."""
+    from .fields import R
+    from .transcript import hash_to_scalar
+
+    b0, b1 = mp_basis()
+    k = hash_to_scalar(seed, b"mp nonce k")
+    t = hash_to_scalar(seed, b"mp nonce t")
+    ci = ec.add(ec.scalar_mul(value % R, b0), ec.scalar_mul(blind % R, b1))
+    ai = ec.add(ec.scalar_mul(k, b0), ec.scalar_mul(t, b1))
+    oracle = ClientOracle(channel)
+    e = oracle.oracle([ci, ai], 1)[0]
+    oracle.done([(k + e * value) % R, (t + e * blind) % R])
+
+
+def dealer_aggregated_opening(channels, transcript):
+    """Dealer side: aggregate, challenge, sum responses, verify.
+
+    Returns (ok, C_agg): ok is the Schnorr check
+    s*B0 + u*B1 == A + e*C on the aggregates."""
+    b0, b1 = mp_basis()
+    summed, rounds, challenges = run_dealer(channels, transcript)
+    if len(rounds) != 1 or len(rounds[0]) != 2 or len(summed) != 2:
+        raise ValueError("aggregated-opening demo expects one (C, A) round")
+    c_agg, a_agg = rounds[0]
+    e = challenges[0][0]
+    s, u = summed
+    lhs = ec.add(ec.scalar_mul(s, b0), ec.scalar_mul(u, b1))
+    rhs = ec.add(a_agg, ec.scalar_mul(e, c_agg))
+    return lhs == rhs, c_agg

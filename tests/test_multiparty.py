@@ -30,7 +30,7 @@ def test_dealer_aggregates_and_broadcasts():
         t.start()
 
     tr = Transcript(None)
-    summed, rounds = run_dealer(chans, tr)
+    summed, rounds, challenges = run_dealer(chans, tr)
     for t in threads:
         t.join()
 
@@ -76,7 +76,7 @@ def test_dealer_over_sockets():
         t.start()
     tr = Transcript(None)
     try:
-        summed, rounds = run_dealer_on_listener(listener, tr, nparties)
+        summed, rounds, challenges = run_dealer_on_listener(listener, tr, nparties)
     finally:
         listener.close()
     for t in threads:
@@ -87,3 +87,43 @@ def test_dealer_over_sockets():
     assert rounds[0] == [ec.scalar_mul(t, ec.G) for t in tot]
     e = results[0][0]
     assert summed == [t * e % R for t in tot]
+
+
+def test_aggregated_opening_demo():
+    """End-to-end multiparty aggregated-opening PoK (the CLI mp-demo
+    protocol): N parties with secret Pedersen openings; the dealer's
+    Schnorr check on the aggregates must accept — and reject when one
+    party lies in its final response share."""
+    from bulletproofspp_tpu.core.multiparty import (
+        dealer_aggregated_opening,
+        run_party_share,
+    )
+
+    nparties = 3
+    for tamper in (False, True):
+        chans = [LocalChannel() for _ in range(nparties)]
+        threads = []
+        for i in range(nparties):
+            def party(i=i):
+                if tamper and i == 1:
+                    # dishonest response share: run the honest protocol but
+                    # shift the final opening by 1
+                    ch = chans[i]
+                    orig_send = ch.send
+
+                    def send(msg):
+                        if msg[0] == "done":
+                            msg = (msg[0], [(int(msg[1][0]) + 1) % R] + list(msg[1][1:])) + msg[2:]
+                        orig_send(msg)
+
+                    ch.send = send
+                run_party_share(chans[i], value=100 + i, blind=7 * i + 1, seed=bytes([i]))
+
+            threads.append(threading.Thread(target=party))
+        for t in threads:
+            t.start()
+        ok, c_agg = dealer_aggregated_opening(chans, Transcript(None))
+        for t in threads:
+            t.join()
+        assert ok == (not tamper)
+        assert c_agg is not None
