@@ -285,6 +285,26 @@ def _mp_demo_cmd(args):
     return 0 if ok else 1
 
 
+def _serve_cmd(args):
+    """Run the dynamic-batching proof service until interrupted."""
+    import os
+
+    if args.engine:
+        os.environ["BPPP_ENGINE"] = args.engine
+    from .serve import ProofServer
+
+    with ProofServer(args.host, args.port, linger_ms=args.linger_ms,
+                     max_batch=args.max_batch) as srv:
+        print(f"serving on {args.host}:{srv.port}", flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bulletproofspp-tpu", description="Prove and Verify Bulletproof++ Zero Knowledge Proofs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -325,6 +345,17 @@ def main(argv=None):
     mp.add_argument("port", type=int)
     mp.add_argument("value", type=int)
     mp.add_argument("index", type=int)
+    sv = sub.add_parser(
+        "serve",
+        help="proof service: TCP newline-JSON server that dynamically "
+        "batches concurrent prove requests into lockstep groups and "
+        "verify requests into one merged zero-check MSM (see serve.py)",
+    )
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--linger-ms", type=float, default=5.0)
+    sv.add_argument("--max-batch", type=int, default=64)
+    sv.add_argument("--engine", choices=["host", "jax"], default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "batch-verify":
@@ -335,6 +366,8 @@ def main(argv=None):
         return _mp_demo_cmd(args)
     if args.cmd == "mp-party":
         return _mp_party_cmd(args)
+    if args.cmd == "serve":
+        return _serve_cmd(args)
 
     with open(args.spec) as f:
         spec = schema_mod.parse_spec(json.load(f))

@@ -172,3 +172,95 @@ def batch_verify_encoded(entries, engine=None, seed: bytes = b"") -> bool:
         b"bppp batch rlc raw v1", seed, [(c, p) for _, c, p in entries]
     )
     return _merged_zero_check(items, _rhos(len(items), digest), engine)
+
+
+def _check_subset(collected, rhos, indices, engine) -> bool:
+    """One rho-weighted zero-check MSM over an index subset of
+    already-collected per-proof pair lists."""
+    merged: dict = {}
+    for i in indices:
+        rho = rhos[i]
+        for s, p in collected[i]:
+            if p is None:
+                continue
+            merged[p] = (merged.get(p, 0) + rho * int(s)) % R
+    return engine.msm([(s, p) for p, s in merged.items() if s]) is None
+
+
+def verify_many_encoded(entries, engine=None, seed: bytes = b"") -> list:
+    """Per-proof verdicts for a batch of wire-encoded proofs — the
+    serving-side counterpart of ``batch_verify_encoded`` (which returns
+    one bool for the whole batch).  entries: iterable of
+    (setup, coms_bytes, proof_bytes).  Returns list[bool] in input order.
+
+    Strategy: decode everything with ONE batched device sqrt, run ONE
+    merged rho-weighted zero check; if it passes, every decodable proof
+    is valid (soundness error 1/r per the module docstring).  If it
+    fails, bisect: re-check each half's merged MSM, recursing into
+    failing halves only — f invalid proofs among n cost O(f log n) extra
+    MSMs instead of n, so the common all-valid serving batch stays at
+    one MSM.  The rho weights are bound to the raw bytes of the FULL
+    batch (undecodable entries included) and are reused unchanged across
+    bisection subsets — they remain unpredictable to any prover that
+    contributed proofs, which is all the RLC argument needs.
+    """
+    from .engine import default_engine
+    from .range_proof import parse_proof, assemble_proof
+
+    engine = engine or default_engine()
+    entries = list(entries)
+    n = len(entries)
+    if n == 0:
+        return []
+
+    results = [False] * n
+    decoded = []  # (index, setup, scalars, n_rp, n_in)
+    all_xs: list = []
+    for i, (setup, coms_bytes, proof_bytes) in enumerate(entries):
+        p = parse_proof(setup, coms_bytes, proof_bytes)
+        if p is None:
+            continue  # undecodable: stays False, never poisons the rest
+        scalars, rp_xs, input_xs = p
+        decoded.append((i, setup, scalars, len(rp_xs), len(input_xs)))
+        all_xs += rp_xs + input_xs
+
+    if not decoded:
+        return results
+    pts = engine.decompress([x for x, _ in all_xs], [s for _, s in all_xs])
+
+    live = []  # indices (into entries) with structurally valid proofs
+    collected = {}  # entry index -> zero-check pairs
+    off = 0
+    for i, setup, scalars, n_rp, n_in in decoded:
+        rp = assemble_proof(
+            setup, scalars, pts[off : off + n_rp], pts[off + n_rp : off + n_rp + n_in]
+        )
+        off += n_rp + n_in
+        if rp is None:
+            continue
+        pairs = collect_pairs(setup, rp)
+        if pairs is None:
+            continue
+        collected[i] = pairs
+        live.append(i)
+    if not live:
+        return results
+
+    digest = _blob_digest(
+        b"bppp batch rlc raw v1", seed, [(c, p) for _, c, p in entries]
+    )
+    rhos = _rhos(n, digest)
+
+    def bisect(idxs):
+        if _check_subset(collected, rhos, idxs, engine):
+            for i in idxs:
+                results[i] = True
+            return
+        if len(idxs) == 1:
+            return  # stays False
+        mid = len(idxs) // 2
+        bisect(idxs[:mid])
+        bisect(idxs[mid:])
+
+    bisect(live)
+    return results

@@ -1,0 +1,301 @@
+"""Proof service: a TCP server with DYNAMIC BATCHING over the lockstep
+prover and the merged batch verifier — the production-serving runtime
+the reference's one-proof-per-invocation CLI (reference:
+app/Main.hs:143-185) does not have.
+
+Why a server: the per-dispatch device round-trip dominates single-proof
+latency through a tunneled TPU (BENCH_NOTES), and both hot paths are
+batch-shaped — ``core.lockstep.prove_many`` fuses N provers into one
+device dispatch per protocol phase, and ``core.batch.verify_many_encoded``
+verifies N proofs with ONE merged zero-check MSM (bisecting only on
+failure).  The service turns INDEPENDENT concurrent requests into those
+batches: requests queue, a collector lingers a few milliseconds to let a
+batch accumulate, then the whole batch runs fused.  Throughput then
+scales with concurrency instead of being capped by per-proof round-trips.
+
+Wire protocol (newline-delimited JSON, one object per line, binary
+fields hex-encoded; any client-supplied "id" is echoed back and
+responses per connection are written in request order):
+
+  {"op": "prove", "schema": {...}, "witness": [...], "seed": "<hex>"?}
+    -> {"ok": true, "commits": "<hex>", "proof": "<hex>"}
+  {"op": "verify", "schema": {...}, "commits": "<hex>", "proof": "<hex>"}
+    -> {"ok": true, "valid": true|false}
+  {"op": "stats"}
+    -> {"ok": true, "requests": N, "batches": N, "proved": N,
+        "verified": N, "max_batch": N}
+
+"schema" is the reference's schema.json object (io_/schema.py); setups
+are cached by canonical schema JSON so repeated schemas pay parsing and
+basis generation once.  "seed" (prover randomness) defaults to fresh
+``os.urandom`` per request — two identical requests give two different,
+both-valid proofs; pass an explicit seed for reproducible output.
+Malformed requests answer {"ok": false, "error": ...} without affecting
+other requests in the same batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import socket
+import socketserver
+import threading
+from concurrent.futures import Future
+
+from .core.engine import default_engine
+from .io_ import schema as schema_mod
+
+
+class _SetupCache:
+    """schema dict -> (spec, setup), keyed by canonical JSON."""
+
+    def __init__(self):
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+
+    def get(self, schema_obj: dict):
+        key = json.dumps(schema_obj, sort_keys=True, separators=(",", ":"))
+        with self._lock:
+            hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from .cli import load_points
+
+        spec = schema_mod.parse_spec(schema_obj)
+        points = load_points(spec, schema_mod.points_needed(spec))
+        setup = schema_mod.build_setup(spec, points)
+        with self._lock:
+            return self._cache.setdefault(key, (spec, setup))
+
+
+class ProofService:
+    """The batching core, independent of any transport: ``submit`` a
+    request dict, get a Future of the response dict.  A single collector
+    thread drains the queue (lingering ``linger_ms`` after the first
+    arrival so concurrent requests coalesce), then runs all verifies as
+    one ``verify_many_encoded`` batch and all proves as one
+    ``prove_many`` batch."""
+
+    def __init__(self, engine=None, linger_ms: float = 5.0, max_batch: int = 64):
+        self.engine = engine or default_engine()
+        self.linger_ms = linger_ms
+        self.max_batch = max_batch
+        self._setups = _SetupCache()
+        self._q: queue.Queue = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "proved": 0, "verified": 0, "max_batch": 0}
+        self._stats_lock = threading.Lock()
+        self._closed = False
+        self._collector = threading.Thread(target=self._collect_loop, daemon=True)
+        self._collector.start()
+
+    def submit(self, request: dict) -> Future:
+        fut: Future = Future()
+        op = request.get("op")
+        if op == "stats":
+            with self._stats_lock:
+                fut.set_result({"ok": True, **self._stats})
+            return fut
+        if op not in ("prove", "verify"):
+            fut.set_result({"ok": False, "error": f"unknown op: {op!r}"})
+            return fut
+        with self._stats_lock:
+            self._stats["requests"] += 1
+        self._q.put((request, fut))
+        return fut
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._collector.join(timeout=30)
+
+    # -- collector ---------------------------------------------------------
+
+    def _collect_loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            # linger: let concurrent requests coalesce into this batch
+            deadline = _monotonic() + self.linger_ms / 1000.0
+            while len(batch) < self.max_batch:
+                timeout = deadline - _monotonic()
+                if timeout <= 0:
+                    # drain whatever is already queued, but stop waiting
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                else:
+                    try:
+                        nxt = self._q.get(timeout=timeout)
+                    except queue.Empty:
+                        break
+                if nxt is None:
+                    self._run_batch(batch)
+                    return
+                batch.append(nxt)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        with self._stats_lock:
+            self._stats["batches"] += 1
+            self._stats["max_batch"] = max(self._stats["max_batch"], len(batch))
+        proves, verifies = [], []
+        for req, fut in batch:
+            try:
+                parsed = self._parse(req)
+            except Exception as e:  # malformed request: answer, don't poison
+                fut.set_result({"ok": False, "error": str(e)})
+                continue
+            (proves if req["op"] == "prove" else verifies).append((parsed, fut))
+        if verifies:
+            self._run_verifies(verifies)
+        if proves:
+            self._run_proves(proves)
+
+    def _parse(self, req):
+        spec, setup = self._setups.get(req["schema"])
+        if req["op"] == "verify":
+            return (setup, bytes.fromhex(req["commits"]), bytes.fromhex(req["proof"]))
+        from .cli import _resolve_values
+
+        wobjs = schema_mod.parse_witness(req["witness"])
+        if len(wobjs) != len(spec.ranges):
+            raise ValueError("different number of values and ranges")
+        values = _resolve_values(spec, wobjs)
+        seed = bytes.fromhex(req["seed"]) if "seed" in req else os.urandom(16)
+        return (setup, values, seed)
+
+    def _run_verifies(self, verifies):
+        from .core.batch import verify_many_encoded
+
+        try:
+            verdicts = verify_many_encoded([p for p, _ in verifies], self.engine)
+        except Exception as e:
+            for _, fut in verifies:
+                fut.set_result({"ok": False, "error": str(e)})
+            return
+        with self._stats_lock:
+            self._stats["verified"] += len(verifies)
+        for (_, fut), valid in zip(verifies, verdicts):
+            fut.set_result({"ok": True, "valid": bool(valid)})
+
+    def _run_proves(self, proves):
+        from .core import range_proof as rpm
+        from .core.lockstep import prove_many
+
+        try:
+            proofs = prove_many([p for p, _ in proves], self.engine)
+        except Exception:
+            # batch-level failure (e.g. one unprovable witness poisoning a
+            # lockstep rendezvous): fall back to sequential so one bad
+            # request can't fail its batchmates
+            proofs = []
+            for (setup, values, seed), _ in proves:
+                try:
+                    proofs.append(rpm.prove(setup, values, seed, self.engine))
+                except Exception as e:
+                    proofs.append(e)
+        with self._stats_lock:
+            self._stats["proved"] += sum(1 for p in proofs if not isinstance(p, Exception))
+        for ((setup, _v, _s), fut), proof in zip(proves, proofs):
+            if isinstance(proof, Exception):
+                fut.set_result({"ok": False, "error": str(proof)})
+            else:
+                coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)
+                fut.set_result(
+                    {"ok": True, "commits": coms_bytes.hex(), "proof": proof_bytes.hex()}
+                )
+
+
+def _monotonic():
+    import time
+
+    return time.monotonic()
+
+
+# -- TCP transport ---------------------------------------------------------
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        service = self.server.service  # type: ignore[attr-defined]
+        pending: queue.Queue = queue.Queue()
+
+        def writer():
+            while True:
+                fut = pending.get()
+                if fut is None:
+                    return
+                fut, req_id = fut
+                resp = fut.result()
+                if req_id is not None:
+                    resp = {"id": req_id, **resp}
+                try:
+                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    return
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        try:
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    req_id = req.get("id")
+                    fut = service.submit(req)
+                except Exception as e:
+                    fut = Future()
+                    fut.set_result({"ok": False, "error": f"bad request: {e}"})
+                    req_id = None
+                pending.put((fut, req_id))
+        finally:
+            pending.put(None)
+            wt.join(timeout=30)
+
+
+class ProofServer(socketserver.ThreadingTCPServer):
+    """``with ProofServer(port=0) as s:`` — serves on a background thread,
+    ``s.port`` is the bound port."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, engine=None,
+                 linger_ms: float = 5.0, max_batch: int = 64):
+        self.service = ProofService(engine, linger_ms=linger_ms, max_batch=max_batch)
+        super().__init__((host, port), _Handler)
+        self.port = self.server_address[1]
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self.shutdown()
+        super().server_close()
+        self.service.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def request(host: str, port: int, objs):
+    """Minimal pipelining client: send every request, then read every
+    response (in order).  objs: list of request dicts.  Returns the list
+    of response dicts."""
+    with socket.create_connection((host, port)) as sock:
+        f = sock.makefile("rwb")
+        for obj in objs:
+            f.write((json.dumps(obj) + "\n").encode())
+        f.flush()
+        sock.shutdown(socket.SHUT_WR)
+        return [json.loads(line) for line in f]

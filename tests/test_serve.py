@@ -1,0 +1,125 @@
+"""Proof service: per-proof batch-verify verdicts (bisection) and the
+dynamic-batching TCP server (serve.py) — the serving runtime layered on
+core.lockstep.prove_many / core.batch.verify_many_encoded.  No reference
+analog (reference: app/Main.hs is one proof per process invocation)."""
+
+import json
+import socket
+
+from bulletproofspp_tpu.cli import _resolve_values
+from bulletproofspp_tpu.core import range_proof as rpm
+from bulletproofspp_tpu.core.batch import verify_many_encoded
+from bulletproofspp_tpu.core.engine import HostEngine
+from bulletproofspp_tpu.core.transcript import take_points
+from bulletproofspp_tpu.io_ import schema as schema_mod
+from bulletproofspp_tpu.serve import ProofServer, request
+
+ENGINE = HostEngine()
+
+SPEC = {
+    "basisSeed": "test points",
+    "ranges": [{"base": 9, "min": 0, "max": 4294967296, "isOutput": True}],
+}
+SPEC2 = {
+    "basisSeed": "test points 2",
+    "ranges": [
+        {"base": 9, "min": 0, "max": 4294967296, "isOutput": True},
+        {"base": 9, "min": 0, "max": 4294967296, "isOutput": False},
+    ],
+}
+
+
+def _mk_encoded(amount, seed, spec_obj=SPEC):
+    spec = schema_mod.parse_spec(spec_obj)
+    points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    amounts = [{"amount": amount}] * len(spec.ranges)
+    values = _resolve_values(spec, schema_mod.parse_witness(amounts))
+    proof = rpm.prove(setup, values, seed, ENGINE)
+    coms_b, proof_b = rpm.encode_proof(setup, proof)
+    return setup, coms_b, proof_b
+
+
+def test_verify_many_per_proof_verdicts():
+    """All-valid batch: one merged MSM, all True.  With invalid proofs
+    mixed in (tampered bytes AND undecodable bytes), bisection localizes
+    exactly the bad indices without poisoning the rest."""
+    entries = [
+        _mk_encoded(10_000, b"s1"),
+        _mk_encoded(777, b"s2"),
+        _mk_encoded(2**31, b"s3"),
+        _mk_encoded(42, b"s4"),
+    ]
+    assert verify_many_encoded(entries, ENGINE) == [True] * 4
+
+    # tamper proof bytes of #1 (stays decodable, fails the zero check);
+    # truncate #3 (undecodable)
+    s1, c1, p1 = entries[1]
+    bad1 = bytearray(p1)
+    bad1[-1] ^= 1
+    s3, c3, p3 = entries[3]
+    mixed = [entries[0], (s1, c1, bytes(bad1)), entries[2], (s3, c3, p3[:7])]
+    assert verify_many_encoded(mixed, ENGINE) == [True, False, True, False]
+
+    # duplicate identical proofs must both verify; a bit-flipped twin must not
+    dup = [entries[0], entries[0], (s1, c1, bytes(bad1)), entries[1]]
+    assert verify_many_encoded(dup, ENGINE) == [True, True, False, True]
+
+    assert verify_many_encoded([], ENGINE) == []
+
+
+def _talk(port, objs):
+    return request("127.0.0.1", port, objs)
+
+
+def test_server_prove_verify_roundtrip():
+    """End-to-end through the TCP transport: pipelined mixed-schema prove
+    requests coalesce into batches; returned proofs verify through the
+    service; a tampered proof answers valid=False; malformed requests
+    answer ok=False without harming their batchmates."""
+    with ProofServer(linger_ms=50, max_batch=64) as srv:
+        proves = [
+            {"id": i, "op": "prove", "schema": SPEC if i % 2 == 0 else SPEC2,
+             "witness": [{"amount": 100 + i}] * (1 if i % 2 == 0 else 2),
+             "seed": bytes([i]).hex()}
+            for i in range(5)
+        ] + [{"id": 99, "op": "prove", "schema": SPEC, "witness": []}]  # malformed
+        resps = _talk(srv.port, proves)
+        assert [r["id"] for r in resps] == [0, 1, 2, 3, 4, 99]
+        assert all(r["ok"] for r in resps[:5])
+        assert resps[5]["ok"] is False and "ranges" in resps[5]["error"]
+
+        # same seed + same schema => reproducible bytes; no seed => fresh
+        again = _talk(srv.port, [dict(proves[0], id=7)])[0]
+        assert again["proof"] == resps[0]["proof"]
+
+        verifies = [
+            {"id": i, "op": "verify", "schema": SPEC if i % 2 == 0 else SPEC2,
+             "commits": r["commits"], "proof": r["proof"]}
+            for i, r in enumerate(resps[:5])
+        ]
+        bad = bytearray(bytes.fromhex(verifies[2]["proof"]))
+        bad[-1] ^= 1
+        verifies[2]["proof"] = bytes(bad).hex()
+        vresps = _talk(srv.port, verifies + [{"op": "stats"}])
+        assert [r.get("valid") for r in vresps[:5]] == [True, True, False, True, True]
+
+        stats = vresps[5]
+        assert stats["ok"] and stats["requests"] == 12 and stats["proved"] == 6
+        # dynamic batching actually happened: fewer batches than requests
+        assert stats["batches"] < stats["requests"]
+        assert stats["max_batch"] > 1
+
+
+def test_server_unknown_op_and_bad_json():
+    with ProofServer() as srv:
+        assert _talk(srv.port, [{"op": "nope"}])[0]["ok"] is False
+        with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+            f = sock.makefile("rwb")
+            f.write(b"this is not json\n")
+            f.write((json.dumps({"op": "stats"}) + "\n").encode())
+            f.flush()
+            sock.shutdown(socket.SHUT_WR)
+            out = [json.loads(line) for line in f]
+        assert out[0]["ok"] is False and "bad request" in out[0]["error"]
+        assert out[1]["ok"] is True
