@@ -417,6 +417,85 @@ _BENCH64_SPEC = {
 }
 
 
+def bench_serve():
+    """Serving throughput through the ACTUAL user surface: the TCP
+    dynamic-batching proof service (serve.py).  Concurrent clients
+    pipeline mixed-schema prove requests; the collector coalesces them
+    into lockstep groups, so the serve rate should approach the lockstep
+    rate (not the single-stream rate) — that convergence is the number
+    this bench pins.  A second wave measures verify requests/s (one
+    merged zero-check MSM per batch with per-request verdicts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bulletproofspp_tpu.serve import ProofServer, request
+
+    spec32 = {
+        "basisSeed": "bench points",
+        "argument": "NL",
+        "ranges": [{"base": 16, "min": 0, "max": 2**32, "isOutput": True}],
+    }
+    n = int(os.environ.get("BENCH_SERVE_N", "32"))
+    clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "4"))
+    with ProofServer(linger_ms=20, max_batch=64) as srv:
+
+        def prove_wave(tag, count):
+            per = -(-count // clients)
+
+            def one_client(c):
+                reqs = [
+                    {"op": "prove",
+                     "schema": _BENCH64_SPEC if (c + i) % 2 == 0 else spec32,
+                     "witness": [{"amount": 10**6 + c * per + i}],
+                     "seed": f"{tag}{c}.{i}".encode().hex()}
+                    for i in range(per)
+                ]
+                return request("127.0.0.1", srv.port, reqs)
+
+            with ThreadPoolExecutor(clients) as ex:
+                return [r for rs in ex.map(one_client, range(clients)) for r in rs]
+
+        warm = prove_wave("w", 2 * clients)  # compile every fused shape
+        t0 = time.perf_counter()
+        resps = prove_wave("b", n)
+        prove_dt = time.perf_counter() - t0
+        assert all(r["ok"] for r in resps), [r for r in resps if not r["ok"]][:1]
+
+        # verify wave over the proofs just produced (schema alternates in
+        # the same (c + i) % 2 pattern the prove wave used)
+        per = -(-n // clients)
+
+        def verify_client(c):
+            mine = resps[c * per : (c + 1) * per]
+            reqs = [
+                {"op": "verify",
+                 "schema": _BENCH64_SPEC if (c + i) % 2 == 0 else spec32,
+                 "commits": r["commits"], "proof": r["proof"]}
+                for i, r in enumerate(mine)
+            ]
+            return request("127.0.0.1", srv.port, reqs) if reqs else []
+
+        with ThreadPoolExecutor(clients) as ex:
+            list(ex.map(verify_client, range(clients)))  # warm
+            t0 = time.perf_counter()
+            vresps = [r for rs in ex.map(verify_client, range(clients)) for r in rs]
+            verify_dt = time.perf_counter() - t0
+        ok = all(r["ok"] and r["valid"] for r in vresps)
+        stats = request("127.0.0.1", srv.port, [{"op": "stats"}])[0]
+    print(
+        json.dumps(
+            {
+                "serve_n": n,
+                "serve_clients": clients,
+                "serve_proves_per_s": round(n / prove_dt, 2),
+                "serve_verifies_per_s": round(len(vresps) / verify_dt, 2),
+                "serve_mean_batch": round(stats["requests"] / max(1, stats["batches"]), 1),
+                "serve_all_valid": bool(ok),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def _gen_proof_chunk(args):
     """Worker (spawned, host engine only): prove a range of 64-bit proofs
     and return their wire bytes."""
@@ -506,6 +585,7 @@ def main():
     if os.environ.get("BENCH_FULL"):
         bench_proofs()
         bench_mixed()
+        bench_serve()
         bench_batch_1024()
     # headline: achieved fraction of the CHIP roofline — the product of
     # pipeline-vs-kernel (roofline_util) and kernel-vs-chip
