@@ -100,6 +100,9 @@ class ProofService:
         if op not in ("prove", "verify"):
             fut.set_result({"ok": False, "error": f"unknown op: {op!r}"})
             return fut
+        if self._closed:
+            fut.set_result({"ok": False, "error": "service closed"})
+            return fut
         with self._stats_lock:
             self._stats["requests"] += 1
         self._q.put((request, fut))
@@ -109,6 +112,7 @@ class ProofService:
         self._closed = True
         self._q.put(None)
         self._collector.join(timeout=30)
+        self._drain_closed()  # catch submits that raced the sentinel
 
     # -- collector ---------------------------------------------------------
 
@@ -116,6 +120,7 @@ class ProofService:
         while True:
             item = self._q.get()
             if item is None:
+                self._drain_closed()
                 return
             batch = [item]
             # linger: let concurrent requests coalesce into this batch
@@ -135,9 +140,22 @@ class ProofService:
                         break
                 if nxt is None:
                     self._run_batch(batch)
+                    self._drain_closed()
                     return
                 batch.append(nxt)
             self._run_batch(batch)
+
+    def _drain_closed(self):
+        """Fail any request that raced past the _closed check in submit
+        after the shutdown sentinel — no Future may be left unresolved
+        (a connection writer would block on it forever)."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].set_result({"ok": False, "error": "service closed"})
 
     def _run_batch(self, batch):
         with self._stats_lock:

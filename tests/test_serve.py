@@ -111,6 +111,18 @@ def test_server_prove_verify_roundtrip():
         assert stats["max_batch"] > 1
 
 
+def test_submit_after_close_resolves():
+    """A request submitted after close() must still resolve its Future
+    (with an error) — an unresolved Future would block a connection
+    writer forever."""
+    from bulletproofspp_tpu.serve import ProofService
+
+    svc = ProofService()
+    svc.close()
+    r = svc.submit({"op": "prove", "schema": SPEC, "witness": []}).result(timeout=10)
+    assert r["ok"] is False and "closed" in r["error"]
+
+
 def test_server_unknown_op_and_bad_json():
     with ProofServer() as srv:
         assert _talk(srv.port, [{"op": "nope"}])[0]["ok"] is False
