@@ -78,7 +78,8 @@ class ProofService:
     one ``verify_many_encoded`` batch and all proves as one
     ``prove_many`` batch."""
 
-    def __init__(self, engine=None, linger_ms: float = 5.0, max_batch: int = 64):
+    def __init__(self, engine=None, linger_ms: float = 5.0, max_batch: int = 64,
+                 workers: int = 2):
         self.engine = engine or default_engine()
         self.linger_ms = linger_ms
         self.max_batch = max_batch
@@ -87,6 +88,12 @@ class ProofService:
         self._stats = {"requests": 0, "batches": 0, "proved": 0, "verified": 0, "max_batch": 0}
         self._stats_lock = threading.Lock()
         self._closed = False
+        # batches execute on a small pool, not on the collector itself, so
+        # a fast verify batch is not head-of-line blocked behind a slow
+        # prove batch and the collector keeps coalescing during execution
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max(1, workers))
         self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._collector.start()
 
@@ -112,6 +119,7 @@ class ProofService:
         self._closed = True
         self._q.put(None)
         self._collector.join(timeout=30)
+        self._pool.shutdown(wait=True)
         self._drain_closed()  # catch submits that raced the sentinel
 
     # -- collector ---------------------------------------------------------
@@ -139,11 +147,11 @@ class ProofService:
                     except queue.Empty:
                         break
                 if nxt is None:
-                    self._run_batch(batch)
+                    self._pool.submit(self._run_batch_safe, batch)
                     self._drain_closed()
                     return
                 batch.append(nxt)
-            self._run_batch(batch)
+            self._pool.submit(self._run_batch_safe, batch)
 
     def _drain_closed(self):
         """Fail any request that raced past the _closed check in submit
@@ -156,6 +164,15 @@ class ProofService:
                 return
             if item is not None:
                 item[1].set_result({"ok": False, "error": "service closed"})
+
+    def _run_batch_safe(self, batch):
+        """Pool entry: no exception may escape with Futures unresolved."""
+        try:
+            self._run_batch(batch)
+        except BaseException as e:  # pragma: no cover - defensive
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_result({"ok": False, "error": f"internal error: {e}"})
 
     def _run_batch(self, batch):
         with self._stats_lock:

@@ -111,6 +111,35 @@ def test_server_prove_verify_roundtrip():
         assert stats["max_batch"] > 1
 
 
+def test_verify_not_blocked_behind_prove_batch():
+    """Batches run on a worker pool: a verify batch submitted while a
+    prove batch executes completes without waiting for the proves (no
+    head-of-line blocking in the collector)."""
+    import time
+
+    from bulletproofspp_tpu.serve import ProofService
+
+    setup, coms_b, proof_b = _mk_encoded(12345, b"hb")
+    svc = ProofService(linger_ms=0, max_batch=8)
+    try:
+        prove_fut = svc.submit(
+            {"op": "prove", "schema": SPEC, "witness": [{"amount": 7}]}
+        )
+        time.sleep(0.05)  # let the collector hand the prove batch to a worker
+        verify_fut = svc.submit(
+            {"op": "verify", "schema": SPEC,
+             "commits": coms_b.hex(), "proof": proof_b.hex()}
+        )
+        v = verify_fut.result(timeout=60)
+        assert v["ok"] and v["valid"]
+        # the slow prove is typically still running when the verify lands;
+        # either way it must complete and be valid
+        p = prove_fut.result(timeout=120)
+        assert p["ok"]
+    finally:
+        svc.close()
+
+
 def test_submit_after_close_resolves():
     """A request submitted after close() must still resolve its Future
     (with an error) — an unresolved Future would block a connection
