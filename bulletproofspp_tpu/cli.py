@@ -293,8 +293,24 @@ def _serve_cmd(args):
         os.environ["BPPP_ENGINE"] = args.engine
     from .serve import ProofServer
 
+    warm_pairs = []
+    for item in args.warm:
+        spec_path, _, wit_path = item.partition("=")
+        if not wit_path:
+            print("--warm needs SPEC.json=WITNESS.json", file=sys.stderr)
+            return 2
+        with open(spec_path) as f:
+            schema_obj = json.load(f)
+        with open(wit_path) as f:
+            witness_list = json.load(f)
+        warm_pairs.append((schema_obj, witness_list))
+    sizes = tuple(int(s) for s in args.warm_sizes.split(",") if s)
+
     with ProofServer(args.host, args.port, linger_ms=args.linger_ms,
                      max_batch=args.max_batch) as srv:
+        if warm_pairs:
+            print(f"warming {len(warm_pairs)} schema(s) at sizes {sizes}...", flush=True)
+            srv.service.warm(warm_pairs, sizes)
         print(f"serving on {args.host}:{srv.port}", flush=True)
         try:
             import threading
@@ -356,6 +372,13 @@ def main(argv=None):
     sv.add_argument("--linger-ms", type=float, default=5.0)
     sv.add_argument("--max-batch", type=int, default=64)
     sv.add_argument("--engine", choices=["host", "jax"], default=None)
+    sv.add_argument("--warm", action="append", default=[],
+                    metavar="SPEC.json=WITNESS.json",
+                    help="pre-compile fused shapes for this schema before "
+                    "binding the port (repeatable; needs a valid witness)")
+    sv.add_argument("--warm-sizes", default="1,4,16",
+                    help="comma-separated batch sizes to warm (pow-2 "
+                    "lockstep shapes compile per size)")
     args = ap.parse_args(argv)
 
     if args.cmd == "batch-verify":

@@ -122,6 +122,44 @@ class ProofService:
         self._pool.shutdown(wait=True)
         self._drain_closed()  # catch submits that raced the sentinel
 
+    def warm(self, pairs, sizes=(1, 4, 16)):
+        """Pre-compile the fused dispatch shapes for the given schemas
+        before taking traffic (first XLA compiles of the big fused
+        shapes take minutes on the TPU backend; a cold server would pay
+        them on the first live batch).  pairs: list of
+        (schema_obj, witness_list) — a valid witness is needed because
+        the prover refuses invalid ones before any dispatch happens.
+        For each schema, proves one batch of every size in ``sizes``
+        (lockstep shapes compile per power-of-two batch size) and
+        verifies the size-max batch (decompression + zero-check shapes).
+        Warm work bypasses submit() so it never shows up in stats."""
+        from .core import range_proof as rpm
+        from .core.batch import verify_many_encoded
+        from .core.lockstep import prove_many
+
+        for schema_obj, witness_list in pairs:
+            spec, setup = self._setups.get(schema_obj)
+            wobjs = schema_mod.parse_witness(witness_list)
+            if len(wobjs) != len(spec.ranges):
+                raise ValueError("warm witness does not match schema ranges")
+            from .cli import _resolve_values
+
+            values = _resolve_values(spec, wobjs)
+            encoded = []
+            for n in sorted(set(sizes)):
+                items = [
+                    (setup, values, b"warm" + str(i).encode()) for i in range(n)
+                ]
+                # default max_fuse, matching _run_proves — warming a
+                # different chunk size would compile the wrong shapes
+                proofs = prove_many(items, self.engine)
+                if n == max(sizes):
+                    encoded = [
+                        (setup, *rpm.encode_proof(setup, p)) for p in proofs
+                    ]
+            if encoded:
+                verify_many_encoded(encoded, self.engine)
+
     # -- collector ---------------------------------------------------------
 
     def _collect_loop(self):

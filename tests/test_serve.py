@@ -140,6 +140,29 @@ def test_verify_not_blocked_behind_prove_batch():
         svc.close()
 
 
+def test_warm_compiles_and_stays_out_of_stats():
+    """warm() proves/verifies the requested sizes for the schema and does
+    not pollute serving stats; a mismatched witness raises."""
+    import pytest
+
+    from bulletproofspp_tpu.serve import ProofService
+
+    svc = ProofService()
+    try:
+        svc.warm([(SPEC, [{"amount": 5}])], sizes=(1, 2))
+        stats = svc.submit({"op": "stats"}).result(timeout=10)
+        assert stats["requests"] == 0 and stats["proved"] == 0
+        with pytest.raises(ValueError, match="warm witness"):
+            svc.warm([(SPEC, [])], sizes=(1,))
+        # warmed schema then serves normally
+        r = svc.submit(
+            {"op": "prove", "schema": SPEC, "witness": [{"amount": 9}]}
+        ).result(timeout=120)
+        assert r["ok"]
+    finally:
+        svc.close()
+
+
 def test_submit_after_close_resolves():
     """A request submitted after close() must still resolve its Future
     (with an error) — an unresolved Future would block a connection
