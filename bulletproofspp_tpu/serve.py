@@ -49,25 +49,36 @@ from .io_ import schema as schema_mod
 
 
 class _SetupCache:
-    """schema dict -> (spec, setup), keyed by canonical JSON."""
+    """schema dict -> (spec, setup), keyed by canonical JSON.  LRU-capped:
+    setups hold basis points and schema structure, so an unauthenticated
+    client sending a stream of never-repeating schemas must not grow
+    server memory without bound."""
 
-    def __init__(self):
-        self._cache: dict = {}
+    def __init__(self, max_entries: int = 64):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._cache: "OrderedDict" = OrderedDict()
         self._lock = threading.Lock()
 
     def get(self, schema_obj: dict):
         key = json.dumps(schema_obj, sort_keys=True, separators=(",", ":"))
         with self._lock:
             hit = self._cache.get(key)
-        if hit is not None:
-            return hit
+            if hit is not None:
+                self._cache.move_to_end(key)
+                return hit
         from .cli import load_points
 
         spec = schema_mod.parse_spec(schema_obj)
         points = load_points(spec, schema_mod.points_needed(spec))
         setup = schema_mod.build_setup(spec, points)
         with self._lock:
-            return self._cache.setdefault(key, (spec, setup))
+            entry = self._cache.setdefault(key, (spec, setup))
+            self._cache.move_to_end(key)
+            while len(self._cache) > self.max_entries:
+                self._cache.popitem(last=False)
+            return entry
 
 
 class ProofService:
@@ -292,6 +303,9 @@ def _monotonic():
 
 # -- TCP transport ---------------------------------------------------------
 
+_MAX_LINE = 4 << 20  # 4 MiB: > the largest legitimate request (128x64
+# aggregated proofs are ~5 KB; schemas are smaller), << a memory hazard
+
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
@@ -316,7 +330,17 @@ class _Handler(socketserver.StreamRequestHandler):
         wt = threading.Thread(target=writer, daemon=True)
         wt.start()
         try:
-            for line in self.rfile:
+            while True:
+                # bounded readline: a client must not be able to buffer an
+                # arbitrarily long line into server memory
+                line = self.rfile.readline(_MAX_LINE + 1)
+                if not line:
+                    break
+                if len(line) > _MAX_LINE:
+                    fut = Future()
+                    fut.set_result({"ok": False, "error": "request line too long"})
+                    pending.put((fut, None))
+                    break  # stream is now mid-line garbage; drop the connection
                 line = line.strip()
                 if not line:
                     continue

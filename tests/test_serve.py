@@ -187,3 +187,32 @@ def test_server_unknown_op_and_bad_json():
             out = [json.loads(line) for line in f]
         assert out[0]["ok"] is False and "bad request" in out[0]["error"]
         assert out[1]["ok"] is True
+
+
+def test_server_rejects_oversized_line():
+    """A line beyond the bound answers an error and drops the connection
+    instead of buffering it into memory."""
+    from bulletproofspp_tpu import serve as serve_mod
+
+    with ProofServer() as srv:
+        with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+            f = sock.makefile("rwb")
+            f.write(b'{"op": "stats", "pad": "' + b"x" * (serve_mod._MAX_LINE + 16) + b'"}\n')
+            f.flush()
+            sock.shutdown(socket.SHUT_WR)
+            out = [json.loads(line) for line in f]
+        assert len(out) == 1
+        assert out[0]["ok"] is False and "too long" in out[0]["error"]
+
+
+def test_setup_cache_lru_bounded():
+    from bulletproofspp_tpu.serve import _SetupCache
+
+    cache = _SetupCache(max_entries=2)
+    specs = [dict(SPEC, basisSeed=f"seed {i}") for i in range(3)]
+    a0 = cache.get(specs[0])
+    cache.get(specs[1])
+    assert cache.get(specs[0]) is a0  # LRU refresh
+    cache.get(specs[2])  # evicts specs[1], not specs[0]
+    assert len(cache._cache) == 2
+    assert cache.get(specs[0]) is a0
