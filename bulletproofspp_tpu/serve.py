@@ -250,6 +250,10 @@ class ProofService:
         if len(wobjs) != len(spec.ranges):
             raise ValueError("different number of values and ranges")
         values = _resolve_values(spec, wobjs)
+        # reject invalid witnesses here (cheap host math) rather than let
+        # one poison a fused lockstep batch into the sequential fallback
+        if setup.witness(values) is None:
+            raise ValueError("invalid witness")
         seed = bytes.fromhex(req["seed"]) if "seed" in req else os.urandom(16)
         return (setup, values, seed)
 

@@ -140,6 +140,26 @@ def test_verify_not_blocked_behind_prove_batch():
         svc.close()
 
 
+def test_invalid_witness_rejected_without_poisoning_batch():
+    """An out-of-range witness answers an error at parse time; batchmates
+    prove on the fused path (the rendezvous is never poisoned)."""
+    with ProofServer(linger_ms=50) as srv:
+        out = _talk(srv.port, [
+            {"id": 0, "op": "prove", "schema": SPEC, "witness": [{"amount": 7}]},
+            {"id": 1, "op": "prove", "schema": SPEC,
+             "witness": [{"amount": 2**65}]},  # out of range
+            {"id": 2, "op": "prove", "schema": SPEC, "witness": [{"amount": 8}]},
+        ])
+        assert out[0]["ok"] and out[2]["ok"]
+        assert out[1]["ok"] is False and "witness" in out[1]["error"]
+        v = _talk(srv.port, [
+            {"op": "verify", "schema": SPEC, "commits": r["commits"],
+             "proof": r["proof"]}
+            for r in (out[0], out[2])
+        ])
+        assert [r["valid"] for r in v] == [True, True]
+
+
 def test_warm_compiles_and_stays_out_of_stats():
     """warm() proves/verifies the requested sizes for the schema and does
     not pollute serving stats; a mismatched witness raises."""
