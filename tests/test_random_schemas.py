@@ -96,3 +96,36 @@ def test_random_schema_sweep():
     for i in range(N_CASES):
         spec_obj, wit = _gen_case(rng)
         _roundtrip_and_tamper(spec_obj, wit, rng)
+
+
+def test_random_schemas_through_serving_paths():
+    """The serving path on random MIXED schemas: prove_many must be
+    byte-identical to sequential proving, and verify_many_encoded must
+    confirm all and localize exactly a tampered one."""
+    from bulletproofspp_tpu.core.batch import verify_many_encoded
+    from bulletproofspp_tpu.core.lockstep import prove_many
+
+    rng = random.Random(0xD1CE)
+    items, setups = [], []
+    for _ in range(6):
+        spec_obj, wit = _gen_case(rng)
+        spec = schema_mod.parse_spec(spec_obj)
+        points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+        setup = schema_mod.build_setup(spec, points)
+        vals = _resolve_values(spec, schema_mod.parse_witness(wit))
+        items.append((setup, vals, b"serve" + bytes([len(items)])))
+        setups.append(setup)
+
+    fused = prove_many(items, ENGINE)
+    encoded = []
+    for (setup, vals, seed), proof in zip(items, fused):
+        solo = rpm.prove(setup, vals, seed, ENGINE)
+        assert rpm.encode_proof(setup, proof) == rpm.encode_proof(setup, solo)
+        encoded.append((setup, *rpm.encode_proof(setup, proof)))
+
+    assert verify_many_encoded(encoded, ENGINE) == [True] * len(encoded)
+    s, c, p = encoded[3]
+    bad = bytearray(p)
+    bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+    tampered = encoded[:3] + [(s, c, bytes(bad))] + encoded[4:]
+    assert verify_many_encoded(tampered, ENGINE) == [True, True, True, False, True, True]
