@@ -3,11 +3,12 @@
 Prints ONE JSON line on stdout:
   {"metric", "value", "unit", "vs_baseline"}
 
-The reference publishes no timing numbers (BASELINE.md "published: {}");
-as the executable baseline we measure the exact host-integer engine
-(core.engine.HostEngine — the reference's Straus/GLV algorithm,
-reference: src/Commitment.hs:311-353) on a small instance and scale
-per-point; ``vs_baseline`` is the TPU-vs-host per-point speedup.
+The reference publishes no timing numbers (BASELINE.md "published: {}").
+``vs_baseline`` is the achieved fraction of the CHIP's instruction-stream
+bound (pipeline-vs-kernel x kernel-vs-chip; see roofline()); the exact
+host-integer engine (the reference's Straus/GLV algorithm, reference:
+src/Commitment.hs:311-353) is also measured on a small instance and
+reported per-point as ``vs_host_engine`` for scale.
 
 Timing is honest: distinct pre-staged inputs per iteration and a
 block_until_ready on every output (dispatch pipelining cannot hide work).
@@ -162,21 +163,30 @@ def roofline(dev_s: float, n_points: int):
     # cannot produce a negative kernel time.
     px0, py0, pz0 = curve.from_affine_host([ec.G])
     P = tuple(jnp.tile(t, (1, L)) for t in (px0, py0, pz0))
-    REP = 8
 
-    @jax.jit
-    def chain_padd(p):
-        for _ in range(REP):
-            p = padd_pallas(p, p, block=512)
-        return p
+    def chain_padd_fn(rep):
+        @jax.jit
+        def chain_padd(p):
+            for _ in range(rep):
+                p = padd_pallas(p, p, block=512)
+            return p
 
+        return chain_padd
+
+    # adaptive depth: if the chain is not clearly above RTT noise (small
+    # L, congestion spike), DOUBLE it rather than accept a noise-level —
+    # possibly negative — difference as the kernel time
     t_null = t_padd = None
-    for _ in range(4):
+    REP = 8
+    for _ in range(6):
         t_null = best(jax.jit(lambda x: x + 1), jnp.zeros((1,), jnp.uint32), iters=5)
-        t_chain = best(chain_padd, P, iters=5)
-        t_padd = (t_chain - t_null) / REP / L  # s per lane-padd
+        t_chain = best(chain_padd_fn(REP), P, iters=5)
         if t_chain - t_null > 5e-3:  # chain clearly above RTT noise
+            t_padd = (t_chain - t_null) / REP / L  # s per lane-padd
             break
+        REP *= 2
+    # t_padd stays None if even a 256-deep chain is swamped: downstream
+    # kernel-relative metrics are then reported as null, never negative
 
     # VPU peaks: 4 independent accumulator streams, deep enough that the
     # compute time dominates the tunnel RTT (4*256*16*L ops ~ 2-8 ms)
@@ -231,15 +241,18 @@ def roofline(dev_s: float, n_points: int):
 
     pipeline_padds = 40 * L
     dev_net = max(dev_s - t_null, 1e-9)
-    sol_pipeline = pipeline_padds * t_padd
-    roofline_util = sol_pipeline / dev_net  # pipeline vs its own kernel
-    vpu_util = padd_model / t_padd if padd_model else None  # kernel vs chip
+    roofline_util = (  # pipeline vs its own kernel
+        pipeline_padds * t_padd / dev_net if t_padd else None
+    )
+    vpu_util = (  # kernel vs chip
+        padd_model / t_padd if (padd_model and t_padd) else None
+    )
     return {
         "tunnel_rtt_ms": round(t_null * 1e3, 2),
         "msm_device_net_ms": round(dev_net * 1e3, 3),
-        "padd_kernel_ns_per_lane": round(t_padd * 1e9, 2),
+        "padd_kernel_ns_per_lane": round(t_padd * 1e9, 2) if t_padd else None,
         "padds_per_s_per_chip": round(pipeline_padds / dev_net),
-        "roofline_util": round(roofline_util, 3),
+        "roofline_util": round(roofline_util, 3) if roofline_util else None,
         "u32_mad_gops": round(r_mul / 1e9, 1) if r_mul else None,
         "u32_addxor_gops": round(r_add / 1e9, 1) if r_add else None,
         "padd_vpu_bound_ns": round(padd_model * 1e9, 2) if padd_model else None,
@@ -254,7 +267,9 @@ def roofline(dev_s: float, n_points: int):
         # (product of the two levels); falls back to roofline_util when
         # the VPU peak measurement is swamped by tunnel RTT jitter
         "chip_util": (
-            round(roofline_util * vpu_util, 3) if vpu_util else None
+            round(roofline_util * vpu_util, 3)
+            if (roofline_util and vpu_util)
+            else None
         ),
     }
 
@@ -600,6 +615,7 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/s",
                 "vs_baseline": roof["chip_util"] or roof["roofline_util"],
+                "vs_host_engine": round(pps / host_pps, 1) if host_pps else None,
             }
         )
     )

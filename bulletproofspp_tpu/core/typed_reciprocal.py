@@ -541,7 +541,7 @@ class SetupTRRP:
         q, xp, r1 = (Fr(v) for v in tr.oracle([r_com], 3))
         q_pows = arg.q_powers(q, self.nrm_len)
         q0 = q_pows[0]
-        q_inv, q0_inv, r1_inv = batch_inverse([q, q0, r1])
+        q0_inv, r1_inv = batch_inverse([q0, r1])
         shared_cs = make_shared_coeffs(e, e_inv, m_bases_w, base_map)
         t_c = xp if self.has_types else Fr(0)
 
@@ -598,7 +598,7 @@ class SetupTRRP:
         q, xp, r1 = (Fr(v) for v in tr.oracle([r_com], 3))
         q0 = arg.q_powers(q, 1)[0]
         t = Fr(tr.oracle([bl_com], 1)[0])
-        e_inv, q_inv, q0_inv = batch_inverse([e, q, q0])
+        e_inv, q0_inv = batch_inverse([e, q0])
         base_map = self.base_map(x)
         ph2s = make_phase2s(False, self.has_types, e, e_inv, x, base_map, ph1s)
         pub = make_public_consts(
