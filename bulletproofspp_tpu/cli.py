@@ -285,6 +285,137 @@ def _mp_demo_cmd(args):
     return 0 if ok else 1
 
 
+def _mp_partition(n_ranges: int, n_parties: int):
+    """Contiguous near-even split of range indices across parties."""
+    base, rem = divmod(n_ranges, n_parties)
+    out, s = [], 0
+    for i in range(n_parties):
+        ln = base + (1 if i < rem else 0)
+        out.append(list(range(s, s + ln)))
+        s += ln
+    return out
+
+
+def _mp_prove_load(spec_path, witness_path):
+    with open(spec_path) as f:
+        spec = schema_mod.parse_spec(json.load(f))
+    with open(witness_path) as f:
+        wobjs = schema_mod.parse_witness(json.load(f))
+    if len(wobjs) != len(spec.ranges):
+        raise SystemExit("Different number of values and ranges")
+    values = _resolve_values(spec, wobjs)
+    points = load_points(spec, schema_mod.points_needed(spec))
+    setup = schema_mod.build_setup(spec, points)
+    return spec, setup, values
+
+
+def _mp_prove_party_cmd(args):
+    """Internal: one party process of mp-prove (spawned over TCP).
+
+    Demo convenience: parties read the shared witness file and keep only
+    their own slice; in a real deployment each party holds only its own
+    values and the shared public schema."""
+    from .core.mp_prove import party_prove
+    from .core.multiparty import SocketChannel
+
+    spec, setup, values = _mp_prove_load(args.spec, args.witness)
+    part = _mp_partition(len(values), args.parties)[args.index]
+    owned = {i: values[i] for i in part}
+    seed = (spec.random_seed + f" mp party {args.index}").encode()
+    ch = SocketChannel.connect(args.host, args.port)
+    try:
+        party_prove(setup, ch, owned, seed)
+    finally:
+        ch.close()
+    return 0
+
+
+def _mp_prove_cmd(args):
+    """Full multiparty range proving: N parties each hold a disjoint
+    slice of the aggregated schema's ranges and jointly produce ONE
+    standard proof (core/mp_prove.py); the dealer writes the ordinary
+    commits/proof files and verifies them with the plain verifier.
+    Exceeds the reference, which stubs the dealer combinators without a
+    prover (src/ZKP.hs:106-131)."""
+    from .core.mp_prove import dealer_prove, party_prove
+    from .core.multiparty import (
+        LocalChannel,
+        SocketDealerChannel,
+        make_dealer_listener,
+    )
+
+    import os
+
+    if args.engine:
+        os.environ["BPPP_ENGINE"] = args.engine
+    spec, setup, values = _mp_prove_load(args.spec, args.witness)
+    n = args.parties
+    if not (1 <= n <= len(values)):
+        print("--parties must be between 1 and the number of ranges", file=sys.stderr)
+        return 2
+    engine = default_engine()
+
+    if args.local:
+        import threading
+
+        chans = [LocalChannel() for _ in range(n)]
+        parts = _mp_partition(len(values), n)
+        threads = [
+            threading.Thread(
+                target=party_prove,
+                args=(setup, chans[i], {j: values[j] for j in parts[i]},
+                      (spec.random_seed + f" mp party {i}").encode(), engine),
+                daemon=True,
+            )
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        proof = dealer_prove(setup, chans, engine)
+        for t in threads:
+            t.join(timeout=120)
+    else:
+        import subprocess
+
+        listener, port = make_dealer_listener()
+        # parties run HOST engine by default: their MSMs are small, per-
+        # subprocess XLA compiles would dominate, and the single-tenant
+        # TPU tunnel cannot serve N processes at once anyway.  The dealer
+        # (this process) still uses --engine for the BP rounds.
+        party_env = dict(os.environ, BPPP_ENGINE=args.party_engine)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "bulletproofspp_tpu.cli", "mp-prove-party",
+                 "127.0.0.1", str(port), args.spec, args.witness, str(i), str(n)],
+                env=party_env,
+            )
+            for i in range(n)
+        ]
+        chans = []
+        try:
+            for _ in range(n):
+                sock, _ = listener.accept()
+                chans.append(SocketDealerChannel(sock))
+            proof = dealer_prove(setup, chans, engine)
+        finally:
+            for c in chans:
+                c.close()
+            listener.close()
+            for p in procs:
+                p.wait(timeout=60)
+
+    ok = rpm.verify(setup, proof, engine)
+    coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)
+    with open(args.coms, "wb") as f:
+        f.write(coms_bytes)
+    with open(args.proof, "wb") as f:
+        f.write(proof_bytes)
+    mode = "threads" if args.local else f"{n} TCP subprocesses"
+    print(f"Wrote {args.proof} ({len(proof_bytes)} bytes), {args.coms} ({len(coms_bytes)} bytes)")
+    print(f"Multiparty range proof ({mode}): {ok}")
+    return 0 if ok else 1
+
+
 def _serve_cmd(args):
     """Run the dynamic-batching proof service until interrupted."""
     import os
@@ -361,6 +492,32 @@ def main(argv=None):
     mp.add_argument("port", type=int)
     mp.add_argument("value", type=int)
     mp.add_argument("index", type=int)
+    mr = sub.add_parser(
+        "mp-prove",
+        help="multiparty range proving: N parties each hold a disjoint "
+        "slice of the schema's ranges and jointly produce ONE standard "
+        "proof via the dealer protocol (full-protocol MPC; the reference "
+        "stubs the combinators without a prover, src/ZKP.hs:106-131)",
+    )
+    mr.add_argument("spec", nargs="?", default="schema.json")
+    mr.add_argument("witness", nargs="?", default="witness.json")
+    mr.add_argument("coms", nargs="?", default="commits.bin")
+    mr.add_argument("proof", nargs="?", default="proof.bin")
+    mr.add_argument("--parties", type=int, default=2)
+    mr.add_argument("--local", action="store_true",
+                    help="in-process threads instead of TCP subprocesses")
+    mr.add_argument("--engine", choices=["host", "jax"], default=None,
+                    help="dealer engine (BP rounds + final verify)")
+    mr.add_argument("--party-engine", choices=["host", "jax"], default="host",
+                    help="engine for party subprocesses (default host: "
+                    "per-party MSMs are small and the TPU is single-tenant)")
+    mrp = sub.add_parser("mp-prove-party")  # internal: spawned by mp-prove
+    mrp.add_argument("host")
+    mrp.add_argument("port", type=int)
+    mrp.add_argument("spec")
+    mrp.add_argument("witness")
+    mrp.add_argument("index", type=int)
+    mrp.add_argument("parties", type=int)
     sv = sub.add_parser(
         "serve",
         help="proof service: TCP newline-JSON server that dynamically "
@@ -389,6 +546,10 @@ def main(argv=None):
         return _mp_demo_cmd(args)
     if args.cmd == "mp-party":
         return _mp_party_cmd(args)
+    if args.cmd == "mp-prove":
+        return _mp_prove_cmd(args)
+    if args.cmd == "mp-prove-party":
+        return _mp_prove_party_cmd(args)
     if args.cmd == "serve":
         return _serve_cmd(args)
 

@@ -581,23 +581,23 @@ class SetupTRRP:
         return coms, bp_setup, proof
 
     # -- verifier (reference: TypedReciprocal.hs:447-467) ---------------------
-    def verify_setup(self, tr, coms) -> BPSetup:
-        arg = self.arg_cls
+    def setup_from_challenges(self, coms, e, x, r0, q, xp, r1, t) -> tuple:
+        """Verifier-side BPSetup assembly given the challenges.
+
+        Shared by ``verify_setup`` (which derives the challenges from the
+        transcript replay) and the multiparty dealer (core/mp_prove.py,
+        which already holds them from its live oracle rounds).  Returns
+        ``(bp_setup, pub)`` — the dealer needs ``pub`` to complete the
+        aggregate witness; plain verification ignores it."""
         if len(coms) != 4 + len(self.rds):
             raise ValueError("wrong commitment count")
-        bl_com, r_com, dm_com, m_com = coms[0], coms[1], coms[2], coms[3]
-        n_coms = coms[4:]
         ph1s = [
             Ph1("typing", i, is_output=rd.is_output, is_assumed=rd.is_assumed)
             for i, rd in enumerate(self.rds)
         ] if self.has_types else []
         for i, rd in enumerate(self.rds):
             ph1s += make_phase1s_ver(i, rd)
-
-        e, x, r0 = (Fr(v) for v in tr.oracle([dm_com, m_com] + list(n_coms), 3))
-        q, xp, r1 = (Fr(v) for v in tr.oracle([r_com], 3))
-        q0 = arg.q_powers(q, 1)[0]
-        t = Fr(tr.oracle([bl_com], 1)[0])
+        q0 = self.arg_cls.q_powers(q, 1)[0]
         e_inv, q0_inv = batch_inverse([e, q0])
         base_map = self.base_map(x)
         ph2s = make_phase2s(False, self.has_types, e, e_inv, x, base_map, ph1s)
@@ -606,4 +606,14 @@ class SetupTRRP:
         )
         shared_cs = make_shared_coeffs(e, e_inv, self.m_bases, base_map)
         bp_coeffs = make_bp_coeffs(self.has_types, xp, r0, r1, t, shared_cs)
-        return self._bp_setup(q, x, q0, t, bp_coeffs, pub, coms)
+        return self._bp_setup(q, x, q0, t, bp_coeffs, pub, coms), pub
+
+    def verify_setup(self, tr, coms) -> BPSetup:
+        if len(coms) != 4 + len(self.rds):
+            raise ValueError("wrong commitment count")
+        bl_com, r_com, dm_com, m_com = coms[0], coms[1], coms[2], coms[3]
+        n_coms = coms[4:]
+        e, x, r0 = (Fr(v) for v in tr.oracle([dm_com, m_com] + list(n_coms), 3))
+        q, xp, r1 = (Fr(v) for v in tr.oracle([r_com], 3))
+        t = Fr(tr.oracle([bl_com], 1)[0])
+        return self.setup_from_challenges(coms, e, x, r0, q, xp, r1, t)[0]

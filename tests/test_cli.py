@@ -145,3 +145,26 @@ def test_cli_prove_batch_mixed(workdir):
 def test_cli_prove_batch_odd_args(workdir):
     r = _run(["prove-batch", "schema.json"], workdir)
     assert r.returncode == 2
+
+
+def test_cli_mp_prove(workdir):
+    """mp-prove: 2 TCP party subprocesses jointly prove a 4-range
+    aggregate; the standard verify subcommand accepts the files."""
+    spec = {
+        "basisSeed": "mp cli basis",
+        "randomSeed": "mp cli rand",
+        "ranges": [{"count": 4, "max": 2**32, "isShared": True, "base": 16}],
+    }
+    (workdir / "mps.json").write_text(json.dumps(spec))
+    (workdir / "mpw.json").write_text(
+        json.dumps([{"amount": a} for a in (5, 6, 7, 2**32 - 2)])
+    )
+    r = _run(
+        ["mp-prove", "mps.json", "mpw.json", "mpc.bin", "mpp.bin",
+         "--parties", "2", "--engine", "host"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "Multiparty range proof (2 TCP subprocesses): True" in r.stdout
+    rv = _run(["verify", "mps.json", "mpc.bin", "mpp.bin"], workdir)
+    assert rv.returncode == 0, rv.stderr + rv.stdout
