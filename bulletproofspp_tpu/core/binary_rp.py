@@ -48,7 +48,14 @@ def make_digits_binary(rd: RangeDataB, v: int):
         return None
     n1 = integer_log(2, rd.max - rd.min - 1)
     bn = rd.base_coeffs[0]
-    if n_adj > bn:
+    # D2 (docs/UPSTREAM_SEMANTICS.md): take the top digit whenever the
+    # remainder would not fit in n1 bits.  Upstream's strict `nAdj > bn`
+    # (Binary.hs:63) leaves n_adj == bn == 2^n1 — the exact midpoint of a
+    # power-of-two range — with an (n1+1)-bit remainder; its padLeft
+    # never truncates (Utils.hs:77), the digit vector gains a row, and
+    # the concatenated layout shifts: honest proofs never verify.  The
+    # condition below differs from upstream ONLY in that broken case.
+    if n_adj > bn or n_adj >= (1 << n1):
         dn, n_adj = 1, n_adj - bn
     else:
         dn = 0
@@ -232,17 +239,24 @@ class SetupBRP:
         return coms, bp_setup, proof
 
     # -- verifier --------------------------------------------------------------
+    def setup_from_challenges(self, coms, q, x, r, t) -> tuple:
+        """Verifier-side BPSetup assembly given the challenges; shared by
+        ``verify_setup`` and the multiparty dealer (core/mp_prove.py).
+        Returns ``(bp_setup, pub_t2)`` — pub_t2 is the public RPW the
+        dealer adds to the summed witness shares."""
+        if len(coms) != 2 + len(self.rds):
+            raise ValueError("wrong commitment count")
+        q0 = self.arg_cls.q_powers(q, 1)[0]
+        q0inv = q0.inv()
+        pub = make_public_consts_binary(self.cons, self.net_pub, x, q0, q0inv, self.rds)
+        pub_t2 = RPW(t * t * pub.sc, [], [t * v for v in pub.nrm])
+        return self._bp_setup(q, r, x, t, pub_t2, coms), pub_t2
+
     def verify_setup(self, tr, coms) -> BPSetup:
         """(reference: Binary.hs:206-221)."""
-        arg = self.arg_cls
         if len(coms) != 2 + len(self.rds):
             raise ValueError("wrong commitment count")
         bl_com, d_com, n_coms = coms[0], coms[1], coms[2:]
         q, x, r = (Fr(v) for v in tr.oracle([d_com] + list(n_coms), 3))
-        q_pows = arg.q_powers(q, 1)
-        q0 = q_pows[0]
-        q0inv = q0.inv()
         t = Fr(tr.oracle([bl_com], 1)[0])
-        pub = make_public_consts_binary(self.cons, self.net_pub, x, q0, q0inv, self.rds)
-        pub_t2 = RPW(t * t * pub.sc, [], [t * v for v in pub.nrm])
-        return self._bp_setup(q, r, x, t, pub_t2, coms)
+        return self.setup_from_challenges(coms, q, x, r, t)[0]

@@ -102,16 +102,45 @@ def _scatter(indices, values, length):
 def party_prove(setup, channel, owned: dict, seed: bytes, engine=None):
     """One party's side of the multiparty prover.
 
-    ``setup``: the FULL aggregated SetupTRRP (public).
-    ``owned``: {range_index: ((amount, type), blind)} for the ranges this
-    party holds; every other index must be held by exactly one other
-    party.  ``channel``: client endpoint (LocalChannel / SocketChannel).
-    ``seed``: party-private randomness seed (never shared).
+    ``setup``: the FULL aggregated setup (public) — SetupTRRP or
+    SetupBRP; dispatches on the protocol family.
+    ``owned``: {range_index: values} for the ranges this party holds
+    (``((amount, type), blind)`` for typed-reciprocal, ``(amount,
+    blind)`` for binary); every other index must be held by exactly one
+    other party.  ``channel``: client endpoint (LocalChannel /
+    SocketChannel).  ``seed``: party-private randomness seed (never
+    shared).
+    """
+    from .binary_rp import SetupBRP
 
-    Mirrors SetupTRRP.prove (reference: TypedReciprocal.hs:399-444)
-    phase-for-phase, with all vectors scattered into the GLOBAL layout
-    (zero outside this party's rows) so the dealer's elementwise sums
-    reproduce the single-prover aggregate exactly.
+    if isinstance(setup, SetupBRP):
+        return _party_prove_brp(setup, channel, owned, seed, engine)
+    return _party_prove_trrp(setup, channel, owned, seed, engine)
+
+
+def dealer_prove(setup, channels, engine=None) -> RangeProof:
+    """Dealer side: aggregate per-party commitments through the generic
+    dealer loop (core/multiparty.py run_dealer — the reference's
+    multiPartyDealer, ZKP.hs:124-131), then finish the proof by running
+    the bulletproof rounds on the summed blinded witness.
+
+    Returns a standard RangeProof that core/range_proof.verify accepts
+    against the aggregated commitments.  Dispatches on the protocol
+    family (SetupTRRP / SetupBRP).
+    """
+    from .binary_rp import SetupBRP
+
+    if isinstance(setup, SetupBRP):
+        return _dealer_prove_brp(setup, channels, engine)
+    return _dealer_prove_trrp(setup, channels, engine)
+
+
+def _party_prove_trrp(setup, channel, owned: dict, seed: bytes, engine=None):
+    """Typed-reciprocal party: mirrors SetupTRRP.prove (reference:
+    TypedReciprocal.hs:399-444) phase-for-phase, with all vectors
+    scattered into the GLOBAL layout (zero outside this party's rows) so
+    the dealer's elementwise sums reproduce the single-prover aggregate
+    exactly.
     """
     engine = engine or default_engine()
     tr = Transcript(seed)  # local randomness only; challenges come from the dealer
@@ -249,15 +278,7 @@ def party_prove(setup, channel, owned: dict, seed: bytes, engine=None):
     oracle.done([int(w.sc)] + [int(v) for v in lin] + [int(v) for v in nrm])
 
 
-def dealer_prove(setup, channels, engine=None) -> RangeProof:
-    """Dealer side: aggregate per-party commitments through the generic
-    dealer loop (core/multiparty.py run_dealer — the reference's
-    multiPartyDealer, ZKP.hs:124-131), then finish the proof by running
-    the bulletproof rounds on the summed blinded witness.
-
-    Returns a standard RangeProof that core/range_proof.verify accepts
-    against the aggregated commitments.
-    """
+def _dealer_prove_trrp(setup, channels, engine=None) -> RangeProof:
     engine = engine or default_engine()
     tr = Transcript(None)  # prove_bp draws no prover randomness
     summed, rounds, challenges = run_dealer(channels, tr)
@@ -280,6 +301,134 @@ def dealer_prove(setup, channels, engine=None) -> RangeProof:
         [Fr(v) for v in summed[1 + setup.lin_len :]],
     )
     w = pub + share
+    proof = prove_bp(tr, engine, bp_setup, w.sc, w.nrm, w.lin)
+    n_rp = setup.info()[0]
+    return RangeProof(coms[:n_rp], coms[n_rp:], proof)
+
+
+# ---------------------------------------------------------------------------
+# Binary range proof (reference: src/RangeProof/Binary.hs) — the same
+# decomposition, simpler: digit rows are owner-disjoint, the blinding
+# polynomial terms |bls|^2_q and 2<bls, d + pub>_q are per-row products
+# (make_poly_terms), and the blinding commitment is linear in the
+# shares.  Conservation (``cons``) is a joint property enforced by the
+# x-weighted input coefficients in the argument itself: a violated
+# conservation yields a proof that fails verification.
+# ---------------------------------------------------------------------------
+
+
+def _party_prove_brp(setup, channel, owned: dict, seed: bytes, engine=None):
+    """Binary-protocol party: mirrors SetupBRP.prove (reference:
+    Binary.hs:171-204).  ``owned``: {range_index: (amount, blind)}."""
+    from .binary_rp import make_digits_binary, make_public_consts_binary, input_coeffs_binary
+
+    engine = engine or default_engine()
+    tr = Transcript(seed)
+    oracle = ClientOracle(channel)
+    arg = setup.arg_cls
+    n_ranges = len(setup.rds)
+    if not owned or any(not (0 <= i < n_ranges) for i in owned):
+        raise ValueError("owned range indices out of bounds")
+    # assumed binary ranges commit no digits (make_digits_binary -> []):
+    # the committed digit rows are COMPACTED — later ranges' digits do
+    # not skip assumed slots.  SetupBRP.nrm_len still counts assumed
+    # ranges, so the single prover draws blinding for a SURPLUS TAIL of
+    # rows beyond the digits (its |bls|^2_q enters bl0_sc quadratically,
+    # its cross term with dp truncates away).  Assign each assumed
+    # range's tail block to its OWNER so exactly one party blinds each
+    # tail row and the quadratic bl0_sc stays additive.
+    offsets, off = [], 0
+    for rd in setup.rds:
+        offsets.append(off)
+        off += 0 if rd.is_assumed else len(rd.base_coeffs)
+    tail_offsets, t_off = {}, off
+    for i, rd in enumerate(setup.rds):
+        if rd.is_assumed:
+            tail_offsets[i] = t_off
+            t_off += len(rd.base_coeffs)
+    assert t_off == setup.nrm_len
+
+    owned_sorted = sorted(owned)
+    g_idx, ds = [], []
+    bl_rows = []  # global indices of rows THIS party blinds
+    for i in owned_sorted:
+        rd = setup.rds[i]
+        v, _bl = owned[i]
+        d = make_digits_binary(rd, int(Fr(v)))
+        if d is None:
+            raise ValueError(f"invalid witness for range {i}")
+        g_idx += list(range(offsets[i], offsets[i] + len(d)))
+        ds += [Fr(x) for x in d]
+        if rd.is_assumed:
+            bl_rows += list(range(tail_offsets[i], tail_offsets[i] + len(rd.base_coeffs)))
+        else:
+            bl_rows += list(range(offsets[i], offsets[i] + len(rd.base_coeffs)))
+    ds_full = _scatter(g_idx, ds, setup.nrm_len)
+
+    n_wits = {i: RPW(Fr(owned[i][0]), [Fr(owned[i][1])], []) for i in owned_sorted}
+    s_bl, l_bl0 = (Fr(v) for v in tr.randoms(2))
+    d_wit = RPW(s_bl, [l_bl0, Fr(0)], ds_full)
+    coms = setup.commit_many(engine, [n_wits[i] for i in owned_sorted] + [d_wit])
+    n_coms, d_com = coms[:-1], coms[-1]
+    n_coms_sparse = [None] * n_ranges
+    for i, c in zip(owned_sorted, n_coms):
+        n_coms_sparse[i] = c
+
+    q, x, r = (Fr(v) for v in oracle.oracle([d_com] + n_coms_sparse, 3))
+    r_inv = r.inv()
+    q_pows = arg.q_powers(q, setup.nrm_len)
+    q0 = q_pows[0]
+    pub = make_public_consts_binary(setup.cons, setup.net_pub, x, q0, q0.inv(), setup.rds)
+
+    # draw in GLOBAL row order (digit + tail interleaved by index): with
+    # one party owning everything this is draw-for-draw the single
+    # prover's bls_nrm = randoms(nrm_len)
+    bl_rows.sort()
+    bls_map = {g: Fr(v) for g, v in zip(bl_rows, tr.randoms(len(bl_rows)))}
+    bls_nrm = [bls_map.get(g, Fr(0)) for g in range(setup.nrm_len)]
+    bl_bl = Fr(tr.random())
+    # per-row quadratics: each row's blinding (and each digit row's
+    # d + pub.nrm) pairs only with its OWNER's values, so both poly-term
+    # sums are additive across parties (reference poly terms:
+    # Internal.hs:65-76 via Binary.hs:184-189)
+    bl0_sc = Fr(0)
+    for g in bl_rows:
+        bl0_sc = bl0_sc + q_pows[g] * bls_map[g] * bls_map[g]
+    bl1_sc = Fr(0)
+    for d, g in zip(ds, g_idx):
+        dp = d + (pub.nrm[g] if g < len(pub.nrm) else Fr(0))
+        bl1_sc = bl1_sc + 2 * q_pows[g] * bls_map[g] * dp
+    bl_wit = RPW(bl0_sc, [bl_bl, r_inv * (s_bl - bl1_sc)], bls_nrm)
+    bl_com = setup.commit(engine, bl_wit)
+    t = Fr(oracle.oracle([bl_com], 1)[0])
+
+    ics = input_coeffs_binary(setup.cons, setup.rds, x)
+    acc = RPW.zero()
+    for i in owned_sorted:
+        acc = acc + n_wits[i].scale(ics[i])
+    w = bl_wit + d_wit.scale(t) + acc.scale(2 * t * t)
+    lin = pad_right(2, Fr(0), list(w.lin))
+    nrm = pad_right(setup.nrm_len, Fr(0), list(w.nrm))
+    oracle.done([int(w.sc)] + [int(v) for v in lin] + [int(v) for v in nrm])
+
+
+def _dealer_prove_brp(setup, channels, engine=None) -> RangeProof:
+    engine = engine or default_engine()
+    tr = Transcript(None)
+    summed, rounds, challenges = run_dealer(channels, tr)
+    if len(rounds) != 2 or len(rounds[1]) != 1:
+        raise ValueError("unexpected multiparty round structure")
+    d_com, *n_coms = rounds[0]
+    (bl_com,) = rounds[1]
+    q, x, r = (Fr(v) for v in challenges[0])
+    t = Fr(challenges[1][0])
+
+    coms = [bl_com, d_com] + list(n_coms)
+    bp_setup, pub_t2 = setup.setup_from_challenges(coms, q, x, r, t)
+    if len(summed) != 3 + setup.nrm_len:
+        raise ValueError("witness share length mismatch")
+    share = RPW(Fr(summed[0]), [Fr(summed[1]), Fr(summed[2])], [Fr(v) for v in summed[3:]])
+    w = pub_t2 + share
     proof = prove_bp(tr, engine, bp_setup, w.sc, w.nrm, w.lin)
     n_rp = setup.info()[0]
     return RangeProof(coms[:n_rp], coms[n_rp:], proof)

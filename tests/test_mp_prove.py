@@ -56,12 +56,25 @@ def _run_mp(setup, values, partition, seeds=None, channel_wrap=None):
         th = threading.Thread(target=work, daemon=True)
         th.start()
         threads.append(th)
-    proof = dealer_prove(setup, channels, ENGINE)
-    for th in threads:
-        th.join(timeout=60)
+    # dealer in a thread too: if a party dies, run_dealer would block on
+    # its channel forever — surface the party's exception instead
+    result = {}
+
+    def dealer_work():
+        try:
+            result["proof"] = dealer_prove(setup, channels, ENGINE)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    dth = threading.Thread(target=dealer_work, daemon=True)
+    dth.start()
+    for th in threads + [dth]:
+        th.join(timeout=120)
     if errors:
         raise errors[0]
-    return proof
+    if "proof" not in result:
+        raise TimeoutError("multiparty run deadlocked (no party error reported)")
+    return result["proof"]
 
 
 def test_mp_single_party_byte_parity():
@@ -189,3 +202,73 @@ def test_mp_out_of_range_value_rejected_locally():
     ch = LocalChannel()
     with pytest.raises(ValueError):
         party_prove(setup, ch, {0: ((2**16, 0), 12345)}, b"p0", ENGINE)
+
+
+# ---------------------------------------------------------------------------
+# binary protocol family (reference: src/RangeProof/Binary.hs)
+# ---------------------------------------------------------------------------
+
+
+def test_mp_binary_single_party_byte_parity():
+    spec, setup, values = _setup_values(ex.EX_BIN, ex.WIT_BIN)
+    solo = rpm.prove(setup, values, spec.random_seed.encode(), ENGINE)
+    mp = _run_mp(setup, values, [list(range(len(values)))], seeds=[spec.random_seed])
+    assert rpm.encode_proof(setup, mp) == rpm.encode_proof(setup, solo)
+
+
+def test_mp_binary_two_party():
+    spec_obj = {
+        "binary": True,
+        "basisSeed": "mp bin basis",
+        "randomSeed": "mp bin rand",
+        "ranges": [{"count": 4, "max": 2**32}],
+    }
+    wit_obj = [{"amount": a} for a in (1, 0, 2**31, 2**32 - 1)]
+    spec, setup, values = _setup_values(spec_obj, wit_obj)
+    proof = _run_mp(setup, values, [[0, 3], [1, 2]])
+    assert rpm.verify(setup, proof, ENGINE)
+    coms_b, proof_b = rpm.encode_proof(setup, proof)
+    dec = rpm.decode_proof(setup, coms_b, proof_b, ENGINE)
+    assert dec is not None and rpm.verify(setup, dec, ENGINE)
+
+
+def test_mp_binary_assumed_range():
+    """Assumed binary ranges commit no digits; the compacted row layout
+    and the unowned blinding-tail rows must still verify under MPC."""
+    spec_obj = {
+        "binary": True,
+        "basisSeed": "mp bin assumed",
+        "randomSeed": "mp bin assumed rand",
+        "ranges": [
+            {"max": 2**16},
+            {"max": 2**8, "isAssumed": True},
+            {"max": 2**16},
+        ],
+    }
+    wit_obj = [{"amount": 1234}, {"amount": 77}, {"amount": 999}]
+    spec, setup, values = _setup_values(spec_obj, wit_obj)
+    proof = _run_mp(setup, values, [[0, 1], [2]])
+    assert rpm.verify(setup, proof, ENGINE)
+
+
+def test_mp_binary_broken_conservation_fails():
+    """Binary conservation (cons) is enforced by the x-weighted input
+    coefficients; no party can check it locally, and a violated sum
+    yields a failing proof."""
+    spec_obj = {
+        "binary": True,
+        "conserved": True,
+        "basisSeed": "mp bin cons",
+        "randomSeed": "mp bin cons rand",
+        "ranges": [{"max": 2**16}, {"max": 2**16, "isOutput": True}],
+    }
+    spec, setup, values = _setup_values(
+        spec_obj, [{"amount": 500}, {"amount": 500}]
+    )
+    good = _run_mp(setup, values, [[0], [1]])
+    assert rpm.verify(setup, good, ENGINE)
+    spec, setup, values = _setup_values(
+        spec_obj, [{"amount": 500}, {"amount": 501}]
+    )
+    bad = _run_mp(setup, values, [[0], [1]])
+    assert not rpm.verify(setup, bad, ENGINE)

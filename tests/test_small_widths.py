@@ -95,6 +95,49 @@ def test_nrm_rows_matches_reference_on_supported_schemas():
         assert _nrm_rows(rd) == len(rd.base_coeffs)
 
 
+# ---------------------------------------------------------------------------
+# D2 (docs/UPSTREAM_SEMANTICS.md): binary digits at the power-of-two
+# midpoint.  Upstream's strict `nAdj > bn` (reference: Binary.hs:63)
+# leaves n_adj == bn == 2^n1 with an (n1+1)-bit remainder; padLeft never
+# truncates (Utils.hs:77), so the digit vector gains a row and honest
+# proofs never verify.  make_digits_binary takes the top digit whenever
+# the remainder would overflow n1 bits — differing ONLY in that case.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mx", [2**8, 2**16, 2**32])
+def test_binary_midpoint_roundtrip(mx):
+    _roundtrip(
+        {
+            "binary": True,
+            "basisSeed": "bin mid",
+            "ranges": [{"max": mx}, {"max": mx}],
+        },
+        [{"amount": mx // 2}, {"amount": 5}],
+    )
+
+
+def test_binary_digits_always_sized_to_basis():
+    """Every in-range value decomposes to exactly len(base_coeffs) digits
+    that weight-sum back to the value; at n_adj == bn < 2^n1 the top
+    digit stays 0 (byte parity with upstream where upstream works)."""
+    from bulletproofspp_tpu.core.binary_rp import (
+        make_range_data_binary,
+        make_digits_binary,
+    )
+
+    for mx in [3, 5, 256, 257, 1000, 2**16, 2**16 + 1]:
+        rd = make_range_data_binary(1 << 256, 0, mx, False, False)
+        for v in range(mx) if mx <= 1000 else [0, 1, mx // 2, mx - 1, rd.base_coeffs[0]]:
+            d = make_digits_binary(rd, v)
+            assert len(d) == len(rd.base_coeffs), (mx, v)
+            assert all(x in (0, 1) for x in d)
+            assert sum(c * x for c, x in zip(rd.base_coeffs, d)) == v, (mx, v)
+    # upstream-parity case: bn < 2^n1, value == bn keeps dn == 0
+    rd = make_range_data_binary(1 << 256, 0, 3, False, False)  # bn=1, bs=[1]
+    assert make_digits_binary(rd, 1) == [0, 1]
+
+
 def test_parse_spec_small_range_with_base():
     """dict.get's eager default used to raise ZeroDivisionError on tiny
     widths even with an explicit base."""
