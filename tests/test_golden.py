@@ -7,6 +7,11 @@ reference: app/Main.hs:68-87, src/ZKP.hs:90-101).  These digests pin the
 framework's own wire format so any change to the transcript encoding,
 oracle ordering, digit planners, or serialization is caught immediately.
 
+Cases are the SHIPPED fixtures under examples/ — byte-identical copies
+of the reference's examples/ (checked by test_examples_match_reference)
+— parsed from disk, so the files a user actually receives are what the
+goldens pin.
+
 PROVENANCE: these hashes are framework-generated, NOT produced by the
 Haskell reference (no GHC toolchain or network exists in this
 environment — see docs/UPSTREAM_SEMANTICS.md for the build-attempt
@@ -16,9 +21,13 @@ vendored upstream declarations, or a mathematical argument, each with
 its own test in tests/test_upstream_semantics.py.
 """
 
+import filecmp
 import hashlib
+import json
+import pathlib
 
-import test_examples_e2e as ex
+import pytest
+
 from bulletproofspp_tpu.cli import _resolve_values
 from bulletproofspp_tpu.core import range_proof as rpm
 from bulletproofspp_tpu.core.engine import HostEngine
@@ -26,6 +35,9 @@ from bulletproofspp_tpu.core.transcript import take_points
 from bulletproofspp_tpu.io_ import schema as schema_mod
 
 ENGINE = HostEngine()
+
+EXAMPLES_DIR = pathlib.Path(__file__).resolve().parent.parent / "examples"
+REFERENCE_EXAMPLES = pathlib.Path("/root/reference/examples")
 
 GOLDEN = {
     "32bit": ("49602ab782f3dc35343b615c0f85010e7d050fcd16444dca82b07acaa4fb3c5b",
@@ -38,18 +50,20 @@ GOLDEN = {
                  "2bfde4f53b614740e97e747d5718b85c4d572b36225ac648dcceabc6f7658413", 546),
     "32by64": ("e3bac23588ac2d21bdc2e609b9f474748afcd466e425cf9f16bb6cf9c5fa8347",
                "a0b943d6f35af4c3fc5af52ce0477cb9afeb27ff9e219de0af7692bba1aff0c7", 707),
+    "64by64": ("a179b372e0c17a7206a1c7c85b003b4009665499b221cf78d8cc5a7e8c099a63",
+               "d9b10a9dd0ea6d6b50fecab2a0202feca0d70254c0437292ef971df14233cb80", 771),
     "96by64": ("c51689970bf249e62e66217cf2f2db7a1226b9998d69455c1bd6d034e1266bfb",
                "323dc1326a64ccb268316c3272a699247d597fa721612252b91c03c1bbadf47a", 803),
+    "128by64": ("c6f5f7cfaaa839c72fc9b7953c261019bf15f015b7de0e35c16a3393493c50f1",
+                "97ed392017a230f3b1278a095764a7859559be22d5f603f41907d1a6658acdbf", 803),
 }
 
-CASES = {
-    "32bit": (ex.EX_32BIT, ex.WIT_32BIT),
-    "64bit": (ex.EX_64BIT, ex.WIT_64BIT),
-    "bin_test": (ex.EX_BIN, ex.WIT_BIN),
-    "rec_test": (ex.EX_REC, ex.WIT_REC),
-    "32by64": ex.agg_example(32, 64),
-    "96by64": ex.agg_example(96, 256),
-}
+
+def _load_case(name: str):
+    d = EXAMPLES_DIR / name
+    spec_obj = json.loads((d / "schema.json").read_text())
+    wit = json.loads((d / "witness.json").read_text())
+    return spec_obj, wit
 
 
 def _digests(spec_obj, wit):
@@ -66,6 +80,19 @@ def _digests(spec_obj, wit):
     )
 
 
-def test_golden_proof_bytes():
-    for name, (spec_obj, wit) in CASES.items():
-        assert _digests(spec_obj, wit) == GOLDEN[name], name
+def test_golden_covers_every_shipped_example():
+    assert sorted(GOLDEN) == sorted(p.name for p in EXAMPLES_DIR.iterdir() if p.is_dir())
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_proof_bytes(name):
+    assert _digests(*_load_case(name)) == GOLDEN[name], name
+
+
+@pytest.mark.skipif(not REFERENCE_EXAMPLES.is_dir(), reason="reference tree absent")
+def test_examples_match_reference():
+    """Shipped fixtures are byte-identical to the reference's examples/."""
+    for ref in sorted(REFERENCE_EXAMPLES.rglob("*.json")):
+        ours = EXAMPLES_DIR / ref.relative_to(REFERENCE_EXAMPLES)
+        assert ours.is_file(), f"missing fixture {ours}"
+        assert filecmp.cmp(ref, ours, shallow=False), f"fixture drift: {ours}"
