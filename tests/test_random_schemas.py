@@ -98,6 +98,36 @@ def test_random_schema_sweep():
         _roundtrip_and_tamper(spec_obj, wit, rng)
 
 
+def test_random_schemas_through_multiparty_prover():
+    """The multiparty prover on random schemas (both protocol families):
+    a random partition of the ranges across 1-3 parties must produce a
+    proof the plain verifier accepts, and — with one party owning
+    everything under the schema's seed — byte-identical output to the
+    single prover (the MPC decomposition is exact)."""
+    from test_mp_prove import _run_mp
+
+    rng = random.Random(0x3A9B)
+    done = 0
+    while done < 6:
+        spec_obj, wit = _gen_case(rng)
+        spec = schema_mod.parse_spec(spec_obj)
+        points = take_points(spec.basis_seed.encode(), schema_mod.points_needed(spec))
+        setup = schema_mod.build_setup(spec, points)
+        vals = _resolve_values(spec, schema_mod.parse_witness(wit))
+        n = len(vals)
+        # random partition into 1..min(3, n) non-empty parts
+        idx = list(range(n))
+        rng.shuffle(idx)
+        n_parties = rng.randint(1, min(3, n))
+        parts = [idx[k::n_parties] for k in range(n_parties)]
+        proof = _run_mp(setup, vals, parts)
+        assert rpm.verify(setup, proof, ENGINE), (spec_obj, parts)
+        if n_parties == 1:
+            solo = rpm.prove(setup, vals, b"mp party 0", ENGINE)
+            assert rpm.encode_proof(setup, proof) == rpm.encode_proof(setup, solo)
+        done += 1
+
+
 def test_random_schemas_through_serving_paths():
     """The serving path on random MIXED schemas: prove_many must be
     byte-identical to sequential proving, and verify_many_encoded must
