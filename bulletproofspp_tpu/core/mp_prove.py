@@ -1,13 +1,14 @@
-"""Multiparty typed-reciprocal range proving — full-protocol MPC.
+"""Multiparty range proving — full-protocol MPC, both protocol families.
 
 The reference defines transport-parametric dealer/client combinators but
 never wires them to a prover (reference: src/ZKP.hs:106-131; the repo's
 ``multiparty.py`` realizes those combinators plus an aggregated-opening
 PoK demo).  This module goes the rest of the way: N parties, each
 holding the values of a DISJOINT subset of the ranges of one aggregated
-schema, jointly produce ONE standard typed-reciprocal range proof that
-verifies with the ordinary single-prover verifier against the ordinary
-wire format (core/range_proof.py).
+schema — typed-reciprocal (src/RangeProof/TypedReciprocal.hs) or binary
+(src/RangeProof/Binary.hs) — jointly produce ONE standard range proof
+that verifies with the ordinary single-prover verifier against the
+ordinary wire format (core/range_proof.py).
 
 Why this decomposes cleanly (the "MPC cross-term" analysis):
 
