@@ -168,3 +168,32 @@ def test_cli_mp_prove(workdir):
     assert "Multiparty range proof (2 TCP subprocesses): True" in r.stdout
     rv = _run(["verify", "mps.json", "mpc.bin", "mpp.bin"], workdir)
     assert rv.returncode == 0, rv.stderr + rv.stdout
+
+
+def test_cli_mp_prove_binary(workdir):
+    """mp-prove on the BINARY protocol family (with an assumed range, so
+    the compacted digit layout + blinding-tail assignment cross the
+    process boundary); plain verify accepts the emitted files."""
+    spec = {
+        "binary": True,
+        "basisSeed": "mp cli bin basis",
+        "randomSeed": "mp cli bin rand",
+        "ranges": [
+            {"max": 2**32},
+            {"max": 2**16, "isAssumed": True},
+            {"max": 2**32},
+        ],
+    }
+    (workdir / "mbs.json").write_text(json.dumps(spec))
+    (workdir / "mbw.json").write_text(
+        json.dumps([{"amount": 2**31}, {"amount": 777}, {"amount": 9}])
+    )
+    r = _run(
+        ["mp-prove", "mbs.json", "mbw.json", "mbc.bin", "mbp.bin",
+         "--parties", "2", "--engine", "host"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "Multiparty range proof (2 TCP subprocesses): True" in r.stdout
+    rv = _run(["verify", "mbs.json", "mbc.bin", "mbp.bin"], workdir)
+    assert rv.returncode == 0, rv.stderr + rv.stdout
