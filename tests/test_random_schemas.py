@@ -34,7 +34,8 @@ def _gen_case(rng: random.Random):
             rmin = rng.randrange(1000)
             ranges.append({"min": rmin, "max": rmin + 2**width})
             wit.append({"amount": rng.choice(
-                [rmin, rmin + 2**width - 1, rng.randint(rmin, rmin + 2**width - 1)])})
+                [rmin, rmin + 2**width - 1, rmin + 2**(width - 1),  # midpoint: D2
+                 rng.randint(rmin, rmin + 2**width - 1)])})
         spec["ranges"] = ranges
         return spec, wit
     if kind < 0.6:
