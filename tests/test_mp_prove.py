@@ -251,6 +251,39 @@ def test_mp_binary_assumed_range():
     assert rpm.verify(setup, proof, ENGINE)
 
 
+def test_mp_binary_tampered_share_fails():
+    """A corrupted binary witness share must yield an invalid proof."""
+
+    class Tamper:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def send(self, msg):
+            if msg[0] == "done":
+                ops = list(msg[1])
+                ops[-1] = int(ops[-1]) + 1  # last norm row
+                msg = ("done", ops)
+            self.inner.send(msg)
+
+        def recv(self):
+            return self.inner.recv()
+
+        def dealer_send(self, m):
+            self.inner.dealer_send(m)
+
+        def dealer_recv(self):
+            return self.inner.dealer_recv()
+
+    spec, setup, values = _setup_values(ex.EX_BIN, ex.WIT_BIN)
+    proof = _run_mp(
+        setup,
+        values,
+        [list(range(len(values)))],
+        channel_wrap=lambda k, ch: Tamper(ch),
+    )
+    assert not rpm.verify(setup, proof, ENGINE)
+
+
 def test_mp_binary_broken_conservation_fails():
     """Binary conservation (cons) is enforced by the x-weighted input
     coefficients; no party can check it locally, and a violated sum
