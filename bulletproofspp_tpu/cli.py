@@ -302,7 +302,9 @@ def _mp_prove_load(spec_path, witness_path):
     with open(witness_path) as f:
         wobjs = schema_mod.parse_witness(json.load(f))
     if len(wobjs) != len(spec.ranges):
-        raise SystemExit("Different number of values and ranges")
+        # usage error: exit 2, consistent with prove-batch / --parties
+        print("Different number of values and ranges", file=sys.stderr)
+        raise SystemExit(2)
     values = _resolve_values(spec, wobjs)
     points = load_points(spec, schema_mod.points_needed(spec))
     setup = schema_mod.build_setup(spec, points)
@@ -318,10 +320,15 @@ def _mp_prove_party_cmd(args):
     from .core.mp_prove import party_prove
     from .core.multiparty import SocketChannel
 
+    import os
+
     spec, setup, values = _mp_prove_load(args.spec, args.witness)
     part = _mp_partition(len(values), args.parties)[args.index]
     owned = {i: values[i] for i in part}
-    seed = (spec.random_seed + f" mp party {args.index}").encode()
+    # party-PRIVATE randomness: never derived from the (public) schema —
+    # a schema-derived seed would let anyone recompute the blinding and
+    # unmask this party's witness from the wire commitments
+    seed = os.urandom(32)
     ch = SocketChannel.connect(args.host, args.port)
     try:
         party_prove(setup, ch, owned, seed)
@@ -358,26 +365,58 @@ def _mp_prove_cmd(args):
     if args.local:
         import threading
 
+        # parties honor --party-engine here too (host by default: their
+        # MSMs are small and per-thread device dispatch buys nothing)
+        if args.party_engine == "host":
+            from .core.engine import HostEngine
+
+            party_eng = HostEngine()
+        else:
+            party_eng = engine
+
         chans = [LocalChannel() for _ in range(n)]
         parts = _mp_partition(len(values), n)
-        threads = [
-            threading.Thread(
-                target=party_prove,
-                args=(setup, chans[i], {j: values[j] for j in parts[i]},
-                      (spec.random_seed + f" mp party {i}").encode(), engine),
-                daemon=True,
-            )
-            for i in range(n)
-        ]
+        errors = []
+        result = {}
+
+        def party_work(i):
+            try:
+                party_prove(setup, chans[i], {j: values[j] for j in parts[i]},
+                            os.urandom(32), party_eng)
+            except Exception as exc:
+                errors.append((f"party {i}", exc))
+
+        def dealer_work():
+            try:
+                result["proof"] = dealer_prove(setup, chans, engine)
+            except Exception as exc:
+                errors.append(("dealer", exc))
+
+        # dealer on a watchdog thread: if a party dies, dealer_prove
+        # would block on its channel forever — surface the party error
+        # the moment it lands instead of hanging the command
+        import time
+
+        threads = [threading.Thread(target=party_work, args=(i,), daemon=True)
+                   for i in range(n)]
+        threads.append(threading.Thread(target=dealer_work, daemon=True))
         for t in threads:
             t.start()
-        proof = dealer_prove(setup, chans, engine)
-        for t in threads:
-            t.join(timeout=120)
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline and not result and not errors:
+            time.sleep(0.05)
+        if "proof" not in result:
+            for who, exc in errors or [("dealer", "timed out")]:
+                print(f"multiparty {who} failed: {exc}", file=sys.stderr)
+            return 1
+        proof = result["proof"]
     else:
+        import socket
         import subprocess
+        import time
 
         listener, port = make_dealer_listener()
+        listener.settimeout(5.0)
         # parties run HOST engine by default: their MSMs are small, per-
         # subprocess XLA compiles would dominate, and the single-tenant
         # TPU tunnel cannot serve N processes at once anyway.  The dealer
@@ -393,16 +432,45 @@ def _mp_prove_cmd(args):
         ]
         chans = []
         try:
-            for _ in range(n):
-                sock, _ = listener.accept()
+            deadline = time.monotonic() + 300
+            while len(chans) < n:
+                dead = [i for i, p in enumerate(procs) if p.poll() not in (None, 0)]
+                if dead:
+                    raise RuntimeError(
+                        f"party {dead[0]} exited rc={procs[dead[0]].returncode} "
+                        "before connecting")
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"timed out waiting for party connections "
+                        f"({len(chans)}/{n} connected)")
+                try:
+                    sock, _ = listener.accept()
+                except socket.timeout:
+                    continue
                 chans.append(SocketDealerChannel(sock))
             proof = dealer_prove(setup, chans, engine)
+        except (RuntimeError, ConnectionError, ValueError) as exc:
+            # a party crashed or disconnected mid-protocol: its own
+            # traceback is on stderr above; report and exit cleanly
+            print(f"multiparty run failed: {exc}", file=sys.stderr)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            return 1
         finally:
             for c in chans:
                 c.close()
             listener.close()
             for p in procs:
-                p.wait(timeout=60)
+                try:
+                    p.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.wait(timeout=10)
+        bad = [(i, p.returncode) for i, p in enumerate(procs) if p.returncode]
+        if bad:
+            print(f"party {bad[0][0]} exited with rc={bad[0][1]}", file=sys.stderr)
+            return 1
 
     ok = rpm.verify(setup, proof, engine)
     coms_bytes, proof_bytes = rpm.encode_proof(setup, proof)

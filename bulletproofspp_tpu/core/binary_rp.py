@@ -254,6 +254,9 @@ class SetupBRP:
 
     def verify_setup(self, tr, coms) -> BPSetup:
         """(reference: Binary.hs:206-221)."""
+        # deliberately duplicates setup_from_challenges' count check: the
+        # indexing below must not run on a short list (IndexError where
+        # callers expect ValueError)
         if len(coms) != 2 + len(self.rds):
             raise ValueError("wrong commitment count")
         bl_com, d_com, n_coms = coms[0], coms[1], coms[2:]

@@ -609,6 +609,9 @@ class SetupTRRP:
         return self._bp_setup(q, x, q0, t, bp_coeffs, pub, coms), pub
 
     def verify_setup(self, tr, coms) -> BPSetup:
+        # deliberately duplicates setup_from_challenges' count check: the
+        # indexing below must not run on a short list (IndexError where
+        # callers expect ValueError)
         if len(coms) != 4 + len(self.rds):
             raise ValueError("wrong commitment count")
         bl_com, r_com, dm_com, m_com = coms[0], coms[1], coms[2], coms[3]
