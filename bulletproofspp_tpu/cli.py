@@ -601,7 +601,7 @@ def main(argv=None):
                     metavar="SPEC.json=WITNESS.json",
                     help="pre-compile fused shapes for this schema before "
                     "binding the port (repeatable; needs a valid witness)")
-    sv.add_argument("--warm-sizes", default="1,4,16",
+    sv.add_argument("--warm-sizes", default="1,2,4,8,16",
                     help="comma-separated batch sizes to warm (pow-2 "
                     "lockstep shapes compile per size)")
     args = ap.parse_args(argv)

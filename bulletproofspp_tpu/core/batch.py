@@ -66,22 +66,17 @@ def _merged_zero_check(items, rhos, engine) -> bool:
 
     items: list of (setup, RangeProof) already structurally validated OR
     not — each proof's transcript replay happens here and a structurally
-    invalid proof rejects the whole batch.  Scalars for repeated basis
-    points are merged on host so same-schema batches stay near the size
-    of one verification."""
+    invalid proof rejects the whole batch.  The merge itself is
+    _check_subset, the ONE implementation of the rho-weighted
+    combination (soundness-relevant: a second copy would have to be
+    kept bit-identical)."""
     collected = []
     for setup, rp in items:
         pairs = collect_pairs(setup, rp)
         if pairs is None:
             return False
         collected.append(pairs)
-    merged: dict = {}
-    for rho, pairs in zip(rhos, collected):
-        for s, p in pairs:
-            if p is None:
-                continue
-            merged[p] = (merged.get(p, 0) + rho * int(s)) % R
-    return engine.msm([(s, p) for p, s in merged.items() if s]) is None
+    return _check_subset(collected, rhos, range(len(collected)), engine)
 
 
 def _blob_digest(tag: bytes, seed: bytes, blobs) -> bytes:
@@ -102,12 +97,14 @@ def collect_pairs(setup, rp):
     """One proof's zero-check MSM pairs (transcript replay only, no EC
     work), or None if the proof is structurally invalid."""
     tr = Transcript(None)
-    coms = list(rp.rp_coms) + list(rp.input_coms)
+    # the whole replay sits inside the try: a hand-built RangeProof with
+    # non-iterable coms or a malformed bp must return None, not raise
     try:
+        coms = list(rp.rp_coms) + list(rp.input_coms)
         bp_setup = setup.verify_setup(tr, coms)
-    except (ValueError, TypeError, IndexError):
+        return verify_bp_pairs(tr, bp_setup, rp.bp)
+    except (ValueError, TypeError, IndexError, AttributeError):
         return None
-    return verify_bp_pairs(tr, bp_setup, rp.bp)
 
 
 def batch_verify(items, engine=None, seed: bytes = b"") -> bool:
@@ -121,12 +118,16 @@ def batch_verify(items, engine=None, seed: bytes = b"") -> bool:
         return True
     # structural validation of every proof FIRST (a malformed proof must
     # reject the batch, and must do so before serialization for the rho
-    # digest can trip over it)
+    # digest can trip over it); the collected pairs are reused for the
+    # merged check so the transcript replay runs once per proof
+    collected = []
     for setup, rp in items:
-        if collect_pairs(setup, rp) is None:
+        pairs = collect_pairs(setup, rp)
+        if pairs is None:
             return False
+        collected.append(pairs)
     rhos = _rhos(len(items), _batch_digest(items, seed))
-    return _merged_zero_check(items, rhos, engine)
+    return _check_subset(collected, rhos, range(len(collected)), engine)
 
 
 def batch_verify_encoded(entries, engine=None, seed: bytes = b"") -> bool:

@@ -75,13 +75,16 @@ def _recv_msg(sock):
 
 
 def _recv_exact(sock, n):
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
+    # list+join, not buf += chunk: messages may be large and repeated
+    # full-buffer copies are quadratic
+    chunks, got = [], 0
+    while got < n:
+        chunk = sock.recv(n - got)
         if not chunk:
             raise ConnectionError("peer closed")
-        buf += chunk
-    return buf
+        chunks.append(chunk)
+        got += len(chunk)
+    return b"".join(chunks)
 
 
 def _enc_pts(pts):
@@ -204,6 +207,16 @@ def run_dealer(channels, transcript):
         k = msgs[0][2]
         if any(len(m[1]) != n or m[2] != k for m in msgs):
             raise ValueError("parties sent differing batch shapes")
+        # bound party-controlled inputs: k drives oracle work (a huge k
+        # is a dealer DoS) and off-curve points would corrupt the
+        # aggregate — the transport already hardens against malicious
+        # peers (no pickle, size caps), so validate here too
+        if not (0 <= int(k) <= 256):
+            raise ValueError("unreasonable challenge count from party")
+        for _, pts, _ in msgs:
+            for p in pts:
+                if p is not None and not ec.is_on_curve((int(p[0]), int(p[1]))):
+                    raise ValueError("party sent an off-curve point")
         agg = [None] * n
         for _, pts, _ in msgs:
             agg = [ec.add(a, p) for a, p in zip(agg, pts)]
@@ -242,13 +255,23 @@ def mp_basis():
 
 def run_party_share(channel, value: int, blind: int, seed: bytes):
     """One party's client side: commit (C_i, A_i), receive e, respond
-    with the additive response share (s_i, u_i)."""
+    with the additive response share (s_i, u_i).
+
+    The Schnorr nonces MUST be unpredictable: a party's (s_i, u_i)
+    response share reveals (value, blind) to anyone who can compute its
+    nonce, and a nonce reused across sessions with different challenges
+    leaks them algebraically.  Fresh per-session entropy is therefore
+    mixed in unconditionally — ``seed`` only adds caller-side
+    domain separation, it need not be secret."""
+    import os
+
     from .fields import R
     from .transcript import hash_to_scalar
 
     b0, b1 = mp_basis()
-    k = hash_to_scalar(seed, b"mp nonce k")
-    t = hash_to_scalar(seed, b"mp nonce t")
+    sess = seed + os.urandom(32)
+    k = hash_to_scalar(sess, b"mp nonce k")
+    t = hash_to_scalar(sess, b"mp nonce t")
     ci = ec.add(ec.scalar_mul(value % R, b0), ec.scalar_mul(blind % R, b1))
     ai = ec.add(ec.scalar_mul(k, b0), ec.scalar_mul(t, b1))
     oracle = ClientOracle(channel)

@@ -42,6 +42,7 @@ import queue
 import socket
 import socketserver
 import threading
+import time as _time
 from concurrent.futures import Future
 
 from .core.engine import default_engine
@@ -124,6 +125,13 @@ class ProofService:
         with self._stats_lock:
             self._stats["requests"] += 1
         self._q.put((request, fut))
+        # close() may have set _closed and run its final drain between
+        # the check above and the put — nothing will read the queue then,
+        # so resolve the straggler here rather than hang its connection
+        if self._closed and not fut.done():
+            self._drain_closed()
+            if not fut.done():
+                fut.set_result({"ok": False, "error": "service closed"})
         return fut
 
     def close(self):
@@ -133,7 +141,7 @@ class ProofService:
         self._pool.shutdown(wait=True)
         self._drain_closed()  # catch submits that raced the sentinel
 
-    def warm(self, pairs, sizes=(1, 4, 16)):
+    def warm(self, pairs, sizes=(1, 2, 4, 8, 16)):
         """Pre-compile the fused dispatch shapes for the given schemas
         before taking traffic (first XLA compiles of the big fused
         shapes take minutes on the TPU backend; a cold server would pay
@@ -300,9 +308,7 @@ class ProofService:
 
 
 def _monotonic():
-    import time
-
-    return time.monotonic()
+    return _time.monotonic()
 
 
 # -- TCP transport ---------------------------------------------------------

@@ -59,3 +59,15 @@ def test_batch_verify_duplicate_with_bitflip_rejects():
     bad_scalars = [type(s0)(int(s0) ^ 1)] + good.bp.wit_scalars[1:]
     bad = RangeProof(good.rp_coms, good.input_coms, BPProof(good.bp.responses, bad_scalars))
     assert not batch_verify([(setup, good), (setup, bad)], ENGINE)
+
+
+def test_batch_verify_handbuilt_garbage_rejects_not_raises():
+    """A structurally garbage RangeProof object (non-iterable coms, bp
+    without responses) must reject the batch, never raise."""
+    setup, good = _mk(123, b"g")
+    for bad in (
+        RangeProof(None, [], None),
+        RangeProof(good.rp_coms, good.input_coms, object()),
+        RangeProof(good.rp_coms[:-1], good.input_coms, good.bp),
+    ):
+        assert batch_verify([(setup, good), (setup, bad)], ENGINE) is False

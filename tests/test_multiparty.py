@@ -127,3 +127,28 @@ def test_aggregated_opening_demo():
             t.join()
         assert ok == (not tamper)
         assert c_agg is not None
+
+
+def _one_shot_dealer(msg):
+    """Run the dealer against a single scripted party message; returns
+    the raised exception type (or None)."""
+    import pytest  # noqa: F401
+
+    ch = LocalChannel()
+    ch.send(msg)
+    try:
+        run_dealer([ch], Transcript(None))
+    except ValueError as exc:
+        return exc
+    return None
+
+
+def test_dealer_rejects_unreasonable_challenge_count():
+    """k drives oracle work: a party-supplied huge k is a dealer DoS."""
+    exc = _one_shot_dealer(("commit", [ec.G], 1 << 32))
+    assert exc is not None and "challenge count" in str(exc)
+
+
+def test_dealer_rejects_off_curve_point():
+    exc = _one_shot_dealer(("commit", [(5, 7)], 1))
+    assert exc is not None and "off-curve" in str(exc)
