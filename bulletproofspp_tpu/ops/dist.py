@@ -81,25 +81,47 @@ def fetch_replicated(global_array) -> np.ndarray:
     return np.asarray(shards[0].data)
 
 
+# one jitted step per mesh: rebuilding jax.jit(partial(...)) per call
+# would retrace+relower the whole sharded MSM every time
+_STEP_CACHE: dict = {}
+
+
+def sharded_msm_step(mesh):
+    step = _STEP_CACHE.get(mesh)
+    if step is None:
+        from . import sharded
+
+        step = _STEP_CACHE[mesh] = sharded.sharded_msm_jit(mesh)
+    return step
+
+
+# the sharded MSM's input layout (ops/sharded.py in_specs): point coords
+# are data-parallel over 'pts', digit rows over ('win', 'pts')
+MSM_SPECS = (P(None, "pts"), P(None, "pts"), P(None, "pts"), P("win", "pts"), P("win", "pts"))
+
+
+def run_global(mesh, step, px, py, pz, absd, sgn):
+    """Run a jitted sharded-MSM step with multi-process placement: host
+    inputs (replicated on every process) -> global arrays laid out per
+    MSM_SPECS -> one jit across the global mesh -> replicated result
+    fetched locally.  The ONE placement implementation — used by both
+    sharded_msm_global and ShardedJaxEngine.msm."""
+    args = [
+        place_replicated_host_data(mesh, sp, a)
+        for sp, a in zip(MSM_SPECS, (px, py, pz, absd, sgn))
+    ]
+    return tuple(fetch_replicated(c) for c in step(*args))
+
+
 def sharded_msm_global(mesh, px, py, pz, absd, sgn):
-    """ops.sharded.sharded_msm with multi-process placement: host inputs
-    (replicated on every process) -> global arrays laid out per the MSM's
-    in_specs -> one jit across the global mesh -> replicated result
-    fetched locally.  Single-process meshes skip the placement."""
+    """ops.sharded.sharded_msm with multi-process placement.
+    Single-process meshes skip the placement."""
     import jax.numpy as jnp
 
-    from . import sharded
-
+    step = sharded_msm_step(mesh)
     if not is_multiprocess():
-        out = sharded.sharded_msm_jit(mesh)(
+        out = step(
             jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), jnp.asarray(absd), jnp.asarray(sgn)
         )
         return tuple(np.asarray(c) for c in out)
-
-    specs = (P(None, "pts"), P(None, "pts"), P(None, "pts"), P("win", "pts"), P("win", "pts"))
-    args = [
-        place_replicated_host_data(mesh, sp, a)
-        for sp, a in zip(specs, (px, py, pz, absd, sgn))
-    ]
-    out = sharded.sharded_msm_jit(mesh)(*args)
-    return tuple(fetch_replicated(c) for c in out)
+    return run_global(mesh, step, px, py, pz, absd, sgn)

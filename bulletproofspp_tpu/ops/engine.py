@@ -231,7 +231,10 @@ class JaxEngine:
             host_below = int(os.environ.get("BPPP_JAX_MIN_LANES", "0"))
         self.host_below = host_below
         self._host = HostEngine()
-        self._bv_cache: dict = {}
+        from collections import OrderedDict
+
+        self._bv_cache: "OrderedDict" = OrderedDict()
+        self._bv_cache_max = int(os.environ.get("BPPP_BV_CACHE", "64"))
 
     # -- point decompression -------------------------------------------------
     def decompress(self, xs, signs):
@@ -275,9 +278,17 @@ class JaxEngine:
         # hold a strong reference to the keyed object so a dead list's id
         # can never be reused for a different basis; identity-check it
         if hit is not None and hit[0] is check:
+            self._bv_cache.move_to_end(key)
             return hit[1]
         bv = self.basevec(pts)
         self._bv_cache[key] = (check, bv)
+        # bounded LRU: a long-running service sees arbitrarily many
+        # distinct schemas (serve.py caps its setup cache for the same
+        # reason); an unbounded cache pins every basis's device arrays
+        # forever.  Eviction drops the strong ref, so the id-reuse
+        # safety argument above still holds for everything cached.
+        while len(self._bv_cache) > self._bv_cache_max:
+            self._bv_cache.popitem(last=False)
         return bv
 
     def basevec(self, points) -> DevicePoints:
@@ -295,47 +306,6 @@ class JaxEngine:
         even = DevicePoints(ex, ey, ez)
         odd = DevicePoints(ox, oy, oz)
         return even, _dp_pad(odd, len(even))
-
-    def _prep_groups(self, groups, L: int | None = None):
-        """(scalars, basevec) groups -> (px, py, pz, absd, sgn) padded to a
-        lane bucket (>= L when given).  Returns None for an empty MSM."""
-        scalars = []
-        lanes = []
-        for svec, bv in groups:
-            svals = [int(s) % R for s in svec]
-            bv = self.basevec(bv)
-            n = min(len(svals), len(bv))
-            if n == 0:
-                continue
-            scalars.extend(svals[:n])
-            lanes.append(_dp_slice(bv, n))
-        if not scalars:
-            return None
-        metrics.count("engine.msm.lanes", 2 * len(scalars))
-        from .. import native
-
-        nat = native.glv_recode_batch(scalars)
-        if nat is not None:
-            absd, sgn = nat
-        else:
-            halves = []
-            for s in scalars:
-                k1, k2 = glv.split(s)
-                halves += [k1, k2]
-            absd, sgn = glv.recode_batch(halves)
-        cat = _dp_concat(lanes)
-        px, py, pz = _interleave_endo(cat.x, cat.y, cat.z)
-        L = max(_bucket(absd.shape[1]), L or 0)
-        pad = L - absd.shape[1]
-        if pad:
-            z = np.zeros((glv.ROWS, pad), np.uint32)
-            absd = np.concatenate([absd, z], axis=1)
-            sgn = np.concatenate([sgn, z], axis=1)
-            zx, zy, zz = _identity_cols(pad)
-            px = jnp.concatenate([px, zx], axis=-1)
-            py = jnp.concatenate([py, zy], axis=-1)
-            pz = jnp.concatenate([pz, zz], axis=-1)
-        return px, py, pz, jnp.asarray(absd), jnp.asarray(sgn)
 
     def msm_groups(self, groups):
         """Combined MSM over (scalars, basevec) groups; scalars are host
@@ -571,7 +541,10 @@ class JaxEngine:
         if n < self.host_below:
             return self._host.shared_mul(k, pts)
         k1, k2 = glv.split(int(k) % R)
-        return self._two_table_mul(k1, k2, list(pts), [_endo_host(p) for p in pts])[:n]
+        # None entries are identity lanes (same contract as HostEngine
+        # and _two_table_mul); endo(identity) = identity
+        endos = [None if p is None else _endo_host(p) for p in pts]
+        return self._two_table_mul(k1, k2, list(pts), endos)[:n]
 
     # -- shared kernel -------------------------------------------------------
     def _two_table_mul(self, se: int, so: int, even_pts, odd_pts):
@@ -639,6 +612,7 @@ class ShardedJaxEngine(JaxEngine):
             return super().msm(flt)
         from . import sharded
 
+        metrics.count("engine.msm.lanes", 2 * len(flt))
         absd, sgn, lanes_pts = _msm_lanes(flt)
         # lane count: multiple of npts with a power-of-two per-shard width
         # (npts is validated as a power of two in __init__ / make_mesh)
@@ -653,21 +627,18 @@ class ShardedJaxEngine(JaxEngine):
         px, py, pz = curve.from_affine_host(lanes_pts)
         if self._multiproc:
             # every process holds identical host inputs (the replicated
-            # Fiat-Shamir invariant); donate local shards into global
-            # arrays, run ONE jit over the global mesh, fetch the
-            # replicated result (ops.dist placement — the protocol-level
-            # multi-process path, VERDICT r2 item 3)
-            from jax.sharding import PartitionSpec as P
-
+            # Fiat-Shamir invariant); one shared placement implementation
+            # (ops.dist.run_global — the protocol-level multi-process
+            # path, VERDICT r2 item 3)
             from . import dist
 
-            specs = (P(None, "pts"),) * 3 + (P("win", "pts"),) * 2
-            args = [
-                dist.place_replicated_host_data(self.mesh, sp, np.asarray(a))
-                for sp, a in zip(specs, (px, py, pz, absd, sgn))
-            ]
             acc = tuple(
-                jnp.asarray(dist.fetch_replicated(c)) for c in self._step(*args)
+                jnp.asarray(c)
+                for c in dist.run_global(
+                    self.mesh, self._step,
+                    np.asarray(px), np.asarray(py), np.asarray(pz),
+                    np.asarray(absd), np.asarray(sgn),
+                )
             )
         else:
             acc = self._step(px, py, pz, absd, sgn)

@@ -108,3 +108,26 @@ def test_shared_mul_matches_host():
     k = rng.randrange(R)
     eng = JaxEngine(host_below=0)
     assert eng.shared_mul(k, pts) == [ec.scalar_mul(k, p) for p in pts]
+
+
+def test_shared_mul_none_identity_lanes():
+    """None entries are identity lanes (HostEngine parity); the device
+    path used to crash computing endo(None)."""
+    from bulletproofspp_tpu.core.engine import HostEngine
+
+    pts = [rand_points(1)[0], None, rand_points(1)[0]]
+    k = rng.randrange(R)
+    eng = JaxEngine(host_below=0)
+    assert eng.shared_mul(k, pts) == HostEngine().shared_mul(k, pts)
+
+
+def test_basevec_cache_is_bounded():
+    eng = JaxEngine(host_below=0)
+    eng._bv_cache_max = 4
+    keep = [rand_points(2) for _ in range(8)]  # hold refs: ids stay unique
+    for pts in keep:
+        eng.basevec_cached(pts)
+    assert len(eng._bv_cache) <= 4
+    # most-recent entry still hits (identity check passes)
+    bv = eng._bv_cache[id(keep[-1])][1]
+    assert eng.basevec_cached(keep[-1]) is bv
