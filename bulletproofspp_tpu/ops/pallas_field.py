@@ -36,14 +36,18 @@ _KC = None
 
 
 def _kc() -> np.ndarray:
-    """(16, 4) uint32 kernel constants (Mosaic kernels cannot capture
+    """(17, 4) uint32 kernel constants (Mosaic kernels cannot capture
     array constants, so these ride in as an input):
       col 0: K2    = 2p - 2^256 + 1       (carried 16-row subtrahend)
       col 1: K2L   = (-(2^17-1)*S16) % p  (lazy 16-row subtrahend)
       col 2: K2_17 = (1 - 2^272) % p      (carried 17-row subtrahend)
       col 3: K2L17 = (-(2^17-1)*S17) % p  (lazy 17-row subtrahend)
     where Sk = sum_{i<k} 2^{16 i}; see _subs for the complement
-    identities each offsets."""
+    identities each offsets.  Every value is < 2^256 (16 limbs); row 16
+    is zero padding so a 17-row view is a value-preserving PURE SLICE —
+    Mosaic rejects concatenating a lane-offset column slice with fresh
+    zeros ("offset mismatch on non-concat dimension"), so the kernels
+    must never _pad_rows these constants."""
     global _KC
     if _KC is None:
         from ..core.fields import Q
@@ -53,7 +57,8 @@ def _kc() -> np.ndarray:
         k2l = limb.pack_int((-((2**17 - 1) * s16)) % Q)
         k2_17 = limb.pack_int((1 - (1 << 272)) % Q)
         k2l17 = limb.pack_int((-((2**17 - 1) * s17)) % Q)
-        _KC = np.stack([limb._k2(), k2l, k2_17, k2l17], axis=1).astype(np.uint32)
+        kc16 = np.stack([limb._k2(), k2l, k2_17, k2l17], axis=1).astype(np.uint32)
+        _KC = np.concatenate([kc16, np.zeros((1, 4), np.uint32)], axis=0)
     return _KC
 
 NLIMB = limb.NLIMB
@@ -229,7 +234,7 @@ def _add(a, b):
 
 
 def _subs(kc):
-    """Subtraction closures over the (16, 4) kernel-constant input
+    """Subtraction closures over the (17, 4) kernel-constant input
     (Mosaic rejects captured array constants, so the fold offsets arrive
     as inputs; see _kc).  Both accept 16- OR 17-row operands (the c17
     deferred-reduction form, value < 2^271):
@@ -252,31 +257,29 @@ def _subs(kc):
     window.  For R = 16 the value is < 2^256 + W17*S16 + p < 2^259
     (top limb <= 6, folded limbs <= 2^16-1 + 6*977: pre-carry, value
     < 2^256 + 2^36), as before."""
-    k2 = kc[:, 0:1]
-    k2l = kc[:, 1:2]
-    k2_17 = kc[:, 2:3]
-    k2l17 = kc[:, 3:4]
-
-    def _general(a, b, w, k16, k17):
+    def _general(a, b, w, c16, c17):
         Ra, Rb = a.shape[0], b.shape[0]
-        k = k16 if Rb == NLIMB else k17
+        col = c16 if Rb == NLIMB else c17
         R = max(Ra, Rb)
         if Ra < R:
             a = _pad_rows(a, 0, R - Ra)
         if Rb < R:
             w = _pad_rows(w, 0, R - Rb)
-        if R > NLIMB:
-            k = _pad_rows(k, 0, R - NLIMB)
+        # pure slice of the (17, 4) constant — row 16 is zero padding,
+        # so the R-row view is value-correct for both R = 16 and 17 and
+        # never needs a concat (see _kc: Mosaic rejects padding a
+        # lane-offset column slice)
+        k = kc[:R, col : col + 1]
         c = _carry(a + w + k)  # (R+1) carried rows
         if R == NLIMB:
             return _fold_tail(_carry_pre(_fold_rows(c)))
         return _fold_tail(_carry(_fold_rows(c)))
 
     def sub(a, b):
-        return _general(a, b, jnp.uint32(MASK) - b, k2, k2_17)
+        return _general(a, b, jnp.uint32(MASK) - b, 0, 2)
 
     def sub_lazy(a, b):
-        return _general(a, b, jnp.uint32(2 * MASK + 1) - b, k2l, k2l17)
+        return _general(a, b, jnp.uint32(2 * MASK + 1) - b, 1, 3)
 
     return sub, sub_lazy
 
@@ -518,7 +521,7 @@ def reduce_block_pallas(p, factor: int = 8, interpret: bool = False):
     grid = W // blk
     spec = pl.BlockSpec((NLIMB, blk), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, W // factor), jnp.uint32)
     k2 = jnp.asarray(_kc())
     return pl.pallas_call(
@@ -562,7 +565,7 @@ def table_flat_pallas(px, py, pz, interpret: bool = False):
     assert L % 1024 == 0
     ms = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((NLIMB, 1024), lambda i: (0, i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 4), lambda i: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i: (0, 0), memory_space=ms)
     o9 = pl.BlockSpec((144, 1024), lambda i: (0, i), memory_space=ms)
     o18 = pl.BlockSpec((288, 1024), lambda i: (0, i), memory_space=ms)
     k2 = jnp.asarray(_kc())
@@ -645,7 +648,7 @@ def select_reduce_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
     pspec = pl.BlockSpec((NLIMB, 1024), lambda i, r: (0, i), memory_space=ms)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 4), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
     k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
@@ -714,7 +717,7 @@ def select_reduce_pallas(tx_flat, ty2_flat, tz_flat, absd, sgn, interpret: bool 
     # exactly row r's lanes [i*1024, (i+1)*1024)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB, 4), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
     k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
@@ -787,7 +790,7 @@ def padd_pallas(p, q, block: int = 512, interpret: bool = False):
     bl = min(block, L)
     assert L % bl == 0
     spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
     k2 = jnp.asarray(_kc())
     ox, oy, oz = pl.pallas_call(
