@@ -22,10 +22,72 @@ from __future__ import annotations
 import json
 import os
 import random
+import statistics
 import sys
 import time
 
 os.environ.setdefault("BPPP_ENGINE", "jax")
+
+# Measurement methodology (VERDICT r3 item 2): every measured quantity is
+# sampled BENCH_REPS (default 5) times; the JSON reports the MEDIAN and
+# the IQR (75th - 25th percentile) so one tunnel-latency spike cannot
+# masquerade as a perf change.  Each sample pairs the quantity with an
+# ADJACENT null-dispatch measurement so the tunnel RTT subtracted from it
+# is the contemporaneous one, not a stale average.
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+# repeats for the (long) BENCH_FULL sections; each of their quantities is
+# still a median over >=3 full waves
+FULL_REPS = int(os.environ.get("BENCH_FULL_REPS", "3"))
+
+
+def _median(xs):
+    return statistics.median(xs)
+
+
+def _iqr(xs):
+    if len(xs) < 2:
+        return 0.0
+    qs = statistics.quantiles(xs, n=4, method="inclusive")
+    return qs[2] - qs[0]
+
+
+_NULL = None
+
+
+def _null_time():
+    """One tunnel round-trip: dispatch + host-materialize a compiled
+    trivial op.  Measured ADJACENT to every sample so the RTT subtracted
+    is the contemporaneous one."""
+    global _NULL
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if _NULL is None:
+        f = jax.jit(lambda x: x + 1)
+        z = jnp.zeros((1,), jnp.uint32)
+        np.asarray(f(z))  # compile
+        _NULL = (f, z)
+    f, z = _NULL
+    t0 = time.perf_counter()
+    np.asarray(f(z))
+    return time.perf_counter() - t0
+
+
+def _timed_net(fn, reps: int = REPS):
+    """Median/IQR of fn()'s wall time with the adjacent null-dispatch
+    subtracted per sample.  Returns (net_median, net_iqr, null_median).
+    fn must fully materialize its result (np.asarray) — on the tunneled
+    backend block_until_ready alone does not wait for remote execution."""
+    fn()  # warm (compile + cache)
+    nets, nulls = [], []
+    for _ in range(reps):
+        null = _null_time()
+        t0 = time.perf_counter()
+        fn()
+        nets.append(time.perf_counter() - t0 - null)
+        nulls.append(null)
+    return _median(nets), _iqr(nets), _median(nulls)
 
 
 def bench_msm(n_points: int, iters: int):
@@ -85,36 +147,50 @@ def bench_msm(n_points: int, iters: int):
 
     argsets = [digits(i) for i in range(iters)]
     jax.block_until_ready(argsets)
-    _ = np.asarray(run_msm(px, py, pz, *argsets[0])[0])  # compile + warm
+
     # HONEST timing: materialize every output on host (block_until_ready
-    # alone does not wait for remote execution on the tunneled backend)
-    t0 = time.perf_counter()
-    for a in argsets:
-        _ = np.asarray(run_msm(px, py, pz, *a)[0])
-    dev_s = (time.perf_counter() - t0) / iters
+    # alone does not wait for remote execution on the tunneled backend).
+    # Each of the REPS samples runs all `iters` distinct input sets (so
+    # dispatch pipelining cannot hide work across samples) and pairs with
+    # an adjacent null dispatch; the reported figure is the median.
+    state = {"i": 0}
+
+    def one_pass():
+        for a in argsets:
+            _ = np.asarray(run_msm(px, py, pz, *a)[0])
+
+    net_med, net_iqr, null_med = _timed_net(one_pass)
+    dev_net_s = net_med / iters
+    dev_s = dev_net_s + null_med / iters  # incl. the per-pass RTT share
 
     # end-to-end including per-iteration host scalar pipeline
-    t0 = time.perf_counter()
-    for i in range(iters):
-        _ = np.asarray(run_msm(px, py, pz, *digits(100 + i))[0])
-    e2e_s = (time.perf_counter() - t0) / iters
+    def e2e_pass():
+        i = state["i"] = state["i"] + 1
+        for j in range(iters):
+            _ = np.asarray(run_msm(px, py, pz, *digits(100 + 31 * i + j))[0])
 
-    roof = roofline(dev_s, n_points)
+    e2e_med, _e2e_iqr, _ = _timed_net(e2e_pass, reps=3)
+    e2e_s = e2e_med / iters
+
+    roof = roofline(dev_net_s, n_points, null_med)
     print(
         json.dumps(
             {
-                "msm_device_ms": round(dev_s * 1e3, 3),
+                "msm_device_net_ms": round(dev_net_s * 1e3, 3),
+                "msm_device_net_iqr_ms": round(net_iqr / iters * 1e3, 3),
                 "msm_e2e_with_host_scalar_prep_ms": round(e2e_s * 1e3, 3),
+                "tunnel_rtt_ms": round(null_med * 1e3, 2),
+                "bench_reps": REPS,
                 "n_points": n_points,
                 **roof,
             }
         ),
         file=sys.stderr,
     )
-    return n_points / dev_s, host_pps, dev_s, roof
+    return n_points / dev_net_s, host_pps, dev_net_s, roof
 
 
-def roofline(dev_s: float, n_points: int):
+def roofline(dev_net_s: float, n_points: int, null_med: float):
     """Speed-of-light accounting (BASELINE.json north star: measure the
     MSM against the per-chip roofline, not a Python baseline).
 
@@ -147,20 +223,9 @@ def roofline(dev_s: float, n_points: int):
     def sync(x):
         return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
-    def best(fn, *a, iters=3):
-        fn(*a)
-        sync(fn(*a))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            sync(fn(*a))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    # kernel speed of light: fused complete add at full width, 8 chained.
-    # The tunnel RTT fluctuates (observed 24-45 ms spikes); re-measure
-    # null+chain together until self-consistent so a congestion spike
-    # cannot produce a negative kernel time.
+    # kernel speed of light: fused complete add at full width, chained.
+    # Each sample pairs with an adjacent null dispatch (_timed_net); the
+    # chain depth doubles until the net time clearly exceeds RTT noise.
     px0, py0, pz0 = curve.from_affine_host([ec.G])
     P = tuple(jnp.tile(t, (1, L)) for t in (px0, py0, pz0))
 
@@ -173,16 +238,14 @@ def roofline(dev_s: float, n_points: int):
 
         return chain_padd
 
-    # adaptive depth: if the chain is not clearly above RTT noise (small
-    # L, congestion spike), DOUBLE it rather than accept a noise-level —
-    # possibly negative — difference as the kernel time
-    t_null = t_padd = None
+    t_padd = t_padd_iqr = None
     REP = 8
     for _ in range(6):
-        t_null = best(jax.jit(lambda x: x + 1), jnp.zeros((1,), jnp.uint32), iters=5)
-        t_chain = best(chain_padd_fn(REP), P, iters=5)
-        if t_chain - t_null > 5e-3:  # chain clearly above RTT noise
-            t_padd = (t_chain - t_null) / REP / L  # s per lane-padd
+        f = chain_padd_fn(REP)
+        med, iqr, _null = _timed_net(lambda: sync(f(P)))
+        if med > 5e-3:  # chain clearly above RTT noise
+            t_padd = med / REP / L  # s per lane-padd
+            t_padd_iqr = iqr / REP / L
             break
         REP *= 2
     # t_padd stays None if even a 256-deep chain is swamped: downstream
@@ -217,8 +280,8 @@ def roofline(dev_s: float, n_points: int):
     n_elem = 16 * L
 
     def rate(op, ops_per_step):
-        t = best(stream_chain(op), a, iters=5)
-        net = t - t_null
+        f = stream_chain(op)
+        net, _iqr, _null = _timed_net(lambda: sync(f(a)))
         if net < 5e-3:  # swamped by RTT jitter: no valid measurement
             return None
         return 4 * DEPTH * ops_per_step * n_elem / net
@@ -240,7 +303,7 @@ def roofline(dev_s: float, n_points: int):
         padd_tile_model = tile_bound_ns * 1e-9
 
     pipeline_padds = 40 * L
-    dev_net = max(dev_s - t_null, 1e-9)
+    dev_net = max(dev_net_s, 1e-9)
     roofline_util = (  # pipeline vs its own kernel
         pipeline_padds * t_padd / dev_net if t_padd else None
     )
@@ -248,9 +311,8 @@ def roofline(dev_s: float, n_points: int):
         padd_model / t_padd if (padd_model and t_padd) else None
     )
     return {
-        "tunnel_rtt_ms": round(t_null * 1e3, 2),
-        "msm_device_net_ms": round(dev_net * 1e3, 3),
         "padd_kernel_ns_per_lane": round(t_padd * 1e9, 2) if t_padd else None,
+        "padd_kernel_ns_iqr": round(t_padd_iqr * 1e9, 2) if t_padd else None,
         "padds_per_s_per_chip": round(pipeline_padds / dev_net),
         "roofline_util": round(roofline_util, 3) if roofline_util else None,
         "u32_mad_gops": round(r_mul / 1e9, 1) if r_mul else None,
@@ -299,20 +361,43 @@ def bench_proofs():
 
     mk(0)  # warm all kernel shapes
     n = int(os.environ.get("BENCH_PROOFS", "8"))
-    t0 = time.perf_counter()
-    proofs = [mk(i) for i in range(n)]
-    prove_s = (time.perf_counter() - t0) / n
+
+    def med_rate(wave, count):
+        """Median/IQR of per-item rate over FULL_REPS waves (wave(i) runs
+        `count` items and is assumed warm)."""
+        rates = []
+        for r in range(FULL_REPS):
+            t0 = time.perf_counter()
+            wave(r)
+            rates.append(count / (time.perf_counter() - t0))
+        return _median(rates), _iqr(rates)
+
+    proofs = [mk(i) for i in range(n)]  # warm + corpus for verify
+
+    def prove_wave(r):
+        for i in range(n):
+            mk(1000 * (r + 1) + i)
+
+    prove_rate, prove_iqr = med_rate(prove_wave, n)
 
     rpm.verify(setup, proofs[0], engine)
-    t0 = time.perf_counter()
-    ok = all(rpm.verify(setup, pr, engine) for pr in proofs)
-    verify_s = (time.perf_counter() - t0) / n
+    oks = []
+
+    def verify_wave(_r):
+        oks.append(all(rpm.verify(setup, pr, engine) for pr in proofs))
+
+    verify_rate, verify_iqr = med_rate(verify_wave, n)
+    ok = all(oks)
 
     items = [(setup, pr) for pr in proofs]
     batch_verify(items, engine)
-    t0 = time.perf_counter()
-    okb = batch_verify(items, engine)
-    batch_s = (time.perf_counter() - t0) / n
+    okbs = []
+
+    def batch_wave(_r):
+        okbs.append(batch_verify(items, engine))
+
+    batch_rate, _ = med_rate(batch_wave, n)
+    okb = all(okbs)
 
     # pipelined proving: independent proofs from worker threads overlap
     # host transcript work with device dispatch (the production serving
@@ -322,9 +407,11 @@ def bench_proofs():
     workers = int(os.environ.get("BENCH_PROVE_THREADS", "4"))
     with ThreadPoolExecutor(workers) as ex:
         list(ex.map(mk, range(2)))  # warm thread paths
-        t0 = time.perf_counter()
-        piped = list(ex.map(mk, range(2 * n)))
-        pipe_s = (time.perf_counter() - t0) / len(piped)
+
+        def pipe_wave(r):
+            list(ex.map(mk, range(5000 * (r + 1), 5000 * (r + 1) + 2 * n)))
+
+        pipe_rate, _ = med_rate(pipe_wave, 2 * n)
 
     # lockstep batch proving: N provers, ONE fused dispatch per phase
     from bulletproofspp_tpu.core.lockstep import prove_lockstep
@@ -337,21 +424,23 @@ def bench_proofs():
     # warm with the SAME batch size: the fused dispatch shapes depend on
     # N, so a smaller warm run would leave every fused compile inside
     # the timed region
-    prove_lockstep(setup, items, engine)
-    t0 = time.perf_counter()
     lk = prove_lockstep(setup, items, engine)
-    lock_s = (time.perf_counter() - t0) / nlock
+    lock_rate, lock_iqr = med_rate(lambda r: prove_lockstep(setup, items, engine), nlock)
     ok_lk = rpm.verify(setup, lk[0], engine)
     print(
         json.dumps(
             {
-                "proves_per_s": round(1 / prove_s, 3),
-                "proves_per_s_pipelined": round(1 / pipe_s, 3),
-                "proves_per_s_lockstep_n16": round(1 / lock_s, 3),
-                "verifies_per_s": round(1 / verify_s, 3),
-                "batch_verifies_per_s": round(1 / batch_s, 3),
+                "proves_per_s": round(prove_rate, 3),
+                "proves_per_s_iqr": round(prove_iqr, 3),
+                "proves_per_s_pipelined": round(pipe_rate, 3),
+                "proves_per_s_lockstep_n16": round(lock_rate, 3),
+                "proves_per_s_lockstep_iqr": round(lock_iqr, 3),
+                "verifies_per_s": round(verify_rate, 3),
+                "verifies_per_s_iqr": round(verify_iqr, 3),
+                "batch_verifies_per_s": round(batch_rate, 3),
                 "all_valid": bool(ok and okb and ok_lk),
                 "n": n,
+                "full_reps": FULL_REPS,
             }
         ),
         file=sys.stderr,
@@ -406,9 +495,11 @@ def bench_mixed():
     items = [it for group in zip(*by_tag) for it in group]
 
     prove_many(items, engine)  # warm every bucket's fused shapes
-    t0 = time.perf_counter()
-    proofs = prove_many(items, engine)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(FULL_REPS):
+        t0 = time.perf_counter()
+        proofs = prove_many(items, engine)
+        rates.append(len(items) / (time.perf_counter() - t0))
     ok = all(
         rpm.verify(setup, pr, engine) for (setup, _v, _s), pr in zip(items, proofs)
     )
@@ -417,7 +508,8 @@ def bench_mixed():
             {
                 "mixed_n": len(items),
                 "mixed_schemas": 3,
-                "mixed_proves_per_s": round(len(items) / dt, 2),
+                "mixed_proves_per_s": round(_median(rates), 2),
+                "mixed_proves_per_s_iqr": round(_iqr(rates), 2),
                 "mixed_all_valid": bool(ok),
             }
         ),
@@ -470,10 +562,13 @@ def bench_serve():
                 return [r for rs in ex.map(one_client, range(clients)) for r in rs]
 
         warm = prove_wave("w", 2 * clients)  # compile every fused shape
-        t0 = time.perf_counter()
-        resps = prove_wave("b", n)
-        prove_dt = time.perf_counter() - t0
-        assert all(r["ok"] for r in resps), [r for r in resps if not r["ok"]][:1]
+        prove_rates, resps = [], None
+        for w in range(FULL_REPS):
+            t0 = time.perf_counter()
+            resps = prove_wave(f"b{w}.", n)
+            prove_rates.append(n / (time.perf_counter() - t0))
+            assert len(resps) >= n, (len(resps), n)
+            assert all(r["ok"] for r in resps), [r for r in resps if not r["ok"]][:1]
 
         # verify wave over the proofs just produced (schema alternates in
         # the same (c + i) % 2 pattern the prove wave used)
@@ -489,20 +584,28 @@ def bench_serve():
             ]
             return request("127.0.0.1", srv.port, reqs) if reqs else []
 
+        verify_rates, oks = [], []
         with ThreadPoolExecutor(clients) as ex:
             list(ex.map(verify_client, range(clients)))  # warm
-            t0 = time.perf_counter()
-            vresps = [r for rs in ex.map(verify_client, range(clients)) for r in rs]
-            verify_dt = time.perf_counter() - t0
-        ok = all(r["ok"] and r["valid"] for r in vresps)
+            for _ in range(FULL_REPS):
+                t0 = time.perf_counter()
+                vresps = [r for rs in ex.map(verify_client, range(clients)) for r in rs]
+                verify_rates.append(len(vresps) / (time.perf_counter() - t0))
+                # the r3 bench silently reported 0.0/s + all_valid=true when
+                # the wave returned NO responses (all() over []): fail loudly
+                assert len(vresps) == n, (len(vresps), n)
+                oks.append(all(r["ok"] and r["valid"] for r in vresps))
+        ok = all(oks)
         stats = request("127.0.0.1", srv.port, [{"op": "stats"}])[0]
     print(
         json.dumps(
             {
                 "serve_n": n,
                 "serve_clients": clients,
-                "serve_proves_per_s": round(n / prove_dt, 2),
-                "serve_verifies_per_s": round(len(vresps) / verify_dt, 2),
+                "serve_proves_per_s": round(_median(prove_rates), 2),
+                "serve_proves_per_s_iqr": round(_iqr(prove_rates), 2),
+                "serve_verifies_per_s": round(_median(verify_rates), 2),
+                "serve_verifies_per_s_iqr": round(_iqr(verify_rates), 2),
                 "serve_mean_batch": round(stats["requests"] / max(1, stats["batches"]), 1),
                 "serve_all_valid": bool(ok),
             }
@@ -576,17 +679,21 @@ def bench_batch_1024():
     blobs = _load_or_gen_proofs(n)
     entries = [(setup, coms_b, proof_b) for coms_b, proof_b in blobs]
 
-    ok = batch_verify_encoded(entries, engine)  # warm compiles
-    t0 = time.perf_counter()
-    ok = batch_verify_encoded(entries, engine)
-    dt = time.perf_counter() - t0
+    oks = [batch_verify_encoded(entries, engine)]  # warm compiles
+    dts = []
+    for _ in range(FULL_REPS):
+        t0 = time.perf_counter()
+        oks.append(batch_verify_encoded(entries, engine))
+        dts.append(time.perf_counter() - t0)
+    dt = _median(dts)
     print(
         json.dumps(
             {
                 "batch_n": n,
                 "batch_verify_total_s": round(dt, 3),
+                "batch_verify_total_s_iqr": round(_iqr(dts), 3),
                 "batch_verified_proofs_per_s": round(n / dt, 1),
-                "batch_all_valid": bool(ok),
+                "batch_all_valid": bool(all(oks)),
             }
         ),
         file=sys.stderr,
