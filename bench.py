@@ -544,6 +544,13 @@ def bench_serve():
     n = int(os.environ.get("BENCH_SERVE_N", "32"))
     clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "4"))
     with ProofServer(linger_ms=20, max_batch=64) as srv:
+        # production servers pre-compile the fused dispatch shapes before
+        # taking traffic; without this the first waves measure MINUTES of
+        # XLA compiles of N=8/16 lockstep shapes, not serving throughput
+        # (the r3 TPU capture's 1.07/s was exactly this)
+        srv.service.warm(
+            [(_BENCH64_SPEC, [{"amount": 12345}]), (spec32, [{"amount": 77}])]
+        )
 
         def prove_wave(tag, count):
             per = -(-count // clients)

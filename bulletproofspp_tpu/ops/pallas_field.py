@@ -12,12 +12,24 @@ maps to sublanes (16 = 2 x 8 int32 tiles), lanes map to the 128-wide lane
 dimension.  Mosaic restrictions shape the code: no 3-D tensors, no
 reshapes, no dynamic_(update_)slice/scatter — partial-product columns and
 reduction folds are built from static slices + row-padding concatenates
-only; carries use the packed-bit ripple resolution (_carry), and products
-stay in a 17-row deferred form (c17) between ops (_padd_body docstring).
+only; carries use the packed-bit ripple resolution (_resolve_k).
+
+Form discipline (round 4, replacing the r3 17-row c17 form): every value
+is 16 rows.  The VPU's vector registers are (8, 128) tiles, so a 17-row
+tensor pads every op to 24 sublanes (+41%); instead of keeping the 2^256
+overflow in a 17th row, each carry WRAPS it back into the window through
+the sparse-prime identity 2^256 = 2^32 + 977 (mod p) (_carry_wrap),
+leaving a "w16" form: 16 rows, rows 0/2 lazily elevated (< 2^21), value
+< 2^256 + 2^49.  Additive consumers take w16 directly; multiplications
+need strict < 2^16 limbs and take the two-resolve _tighten.  Measured
+tile accounting (opcount.padd_op_counts): the r3 c17 body issued 53k
+tiled ops/lane-padd for 39.7k charged; the w16 body issues 44.3k for
+35.4k (residual padding is the product merge tree's odd-row planes).
 
 Correctness is pinned against the exact host engine in interpret mode on
-CPU (tests/test_pallas.py) and exercised compiled on the real chip by the
-production MSM path.
+CPU (tests/test_pallas.py, tests/test_pallas_forms.py incl. saturated
+0xFFFF adversarial operands) and exercised compiled on the real chip by
+the production MSM path.
 """
 
 from __future__ import annotations
@@ -34,31 +46,25 @@ from . import limb
 
 _KC = None
 
+# per-limb complement width for every subtraction (_sub docstring): must
+# exceed any subtrahend limb.  Subtrahends are strict f16 (< 2^16), w16
+# (< 2^21), or raw sums of two w16 (< 2^22) — 2^26 - 1 leaves margin.
+W_COMP = (1 << 26) - 1
+
 
 def _kc() -> np.ndarray:
-    """(17, 4) uint32 kernel constants (Mosaic kernels cannot capture
-    array constants, so these ride in as an input):
-      col 0: K2    = 2p - 2^256 + 1       (carried 16-row subtrahend)
-      col 1: K2L   = (-(2^17-1)*S16) % p  (lazy 16-row subtrahend)
-      col 2: K2_17 = (1 - 2^272) % p      (carried 17-row subtrahend)
-      col 3: K2L17 = (-(2^17-1)*S17) % p  (lazy 17-row subtrahend)
-    where Sk = sum_{i<k} 2^{16 i}; see _subs for the complement
-    identities each offsets.  Every value is < 2^256 (16 limbs); row 16
-    is zero padding so a 17-row view is a value-preserving PURE SLICE —
-    Mosaic rejects concatenating a lane-offset column slice with fresh
-    zeros ("offset mismatch on non-concat dimension"), so the kernels
-    must never _pad_rows these constants."""
+    """(16, 1) uint32 kernel constant (Mosaic kernels cannot capture
+    array constants, so it rides in as an input):
+      K2W = (-(W_COMP * S16)) % p,   S16 = sum_{i<16} 2^{16 i}
+    the complement offset of every subtraction: per-limb
+    sum_i (W_COMP - b_i) 2^{16 i} = W_COMP*S16 - value(b), so
+    a - b == a + (W_COMP - b per limb) + K2W  (mod p)."""
     global _KC
     if _KC is None:
         from ..core.fields import Q
 
         s16 = sum(1 << (16 * i) for i in range(NLIMB))
-        s17 = s16 + (1 << (16 * NLIMB))
-        k2l = limb.pack_int((-((2**17 - 1) * s16)) % Q)
-        k2_17 = limb.pack_int((1 - (1 << 272)) % Q)
-        k2l17 = limb.pack_int((-((2**17 - 1) * s17)) % Q)
-        kc16 = np.stack([limb._k2(), k2l, k2_17, k2l17], axis=1).astype(np.uint32)
-        _KC = np.concatenate([kc16, np.zeros((1, 4), np.uint32)], axis=0)
+        _KC = limb.pack_int((-(W_COMP * s16)) % Q).reshape(NLIMB, 1).astype(np.uint32)
     return _KC
 
 NLIMB = limb.NLIMB
@@ -80,65 +86,49 @@ def _sum_rows(x):
     return x
 
 
-def _carry(x):
-    """Exact carry propagation over the limb axis: (K, BL) uint32 of any
-    magnitude -> (K+1, BL) limbs < 2^16, same total value.
+def _split16(x):
+    """Split pass: x (16, BL) ARBITRARY uint32 limbs -> (t, o) with
+    t (16, BL) limbs <= (2^16-1) + (2^16-1) = 2^17 - 2 and
+    o (1, BL) = x[15] >> 16, such that value(x) = value(t) + o * 2^256."""
+    hi = x >> 16
+    t = (x & MASK) + jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:15]], axis=0)
+    return t, hi[15:16]
+
+
+def _resolve_k(t):
+    """Packed single-bit ripple resolution: t (K, BL), K <= 30, limbs
+    <= 2^17 - 2 -> (r, cb): r (K, BL) strict limbs < 2^16 and cb (1, BL)
+    in {0, 1} the carry out of the top row; value(t) = value(r) +
+    cb * 2^{16 K}.
 
     Replaces the Kogge-Stone prefix (log2(K) full-width passes, ~750
-    element-ops/lane at K=16) with a PACKED single-bit ripple resolution
-    (~280 ops/lane):
+    element-ops/lane at K=16) with a PACKED resolution (~210):
 
-      1. one split pass: t = (x & MASK) + shift_up(x >> 16).  For ANY
-         uint32 limbs, t <= (2^16-1) + (2^16-1) = 2^17 - 2, so the
-         residual carries g = t >> 16 are single bits, and g=1 forces
-         d = t - 2^16 <= 2^16 - 2 < MASK, hence propagate p = [d == MASK]
-         and g are never both set at a position.
-      2. pack the per-limb bits into ONE uint32 per lane (bit i = limb i)
+      1. limbs <= 2^17 - 2 make the residual carries g = t >> 16 single
+         bits, and g=1 forces d = t - 2^16 <= 2^16 - 2 < MASK, hence
+         propagate p = [d == MASK] and g are never both set at a row.
+      2. pack the per-row bits into ONE uint32 per lane (bit i = row i)
          and resolve the whole ripple with an integer addition:
-         U = u << 1 (g_i generates a carry INTO limb i+1), s = v + U;
+         U = u << 1 (g_i generates a carry INTO row i+1), s = v + U;
          the adder's internal carries are k = s ^ v ^ U, and the true
-         carry into limb i is bit i of  c = k | U.
+         carry into row i is bit i of  c = k | U.
          Soundness: the ripple recurrence is c_{i+1} = g_i | (p_i & c_i).
          In the addition, a carry entering a run of propagate bits
          (v bits = 1) ripples through it exactly; g_i => p_i = 0 ensures
          generated and propagated carries never collide (by induction
          k_i & U_i = 0: if U_i = 1 then v_{i-1} = 0, so
          k_i = U_{i-1} & k_{i-1} = 0), making c = k + U disjoint and the
-         recurrence exact.
-      3. unpack: out = (d + ((c >> i) & 1)) & MASK per limb i.
-
-    Top-limb safety: the packed words use bits 0..K+1 <= 31 (K <= 30
-    everywhere here), and the total value < 2^{16(K+1)} guarantees no
-    carry out of the extended top row.
+         recurrence exact.  Bit K of c is the top carry-out cb.
+      3. unpack: out = (d + ((c & 2^i) == 2^i)) & MASK per row i.
     """
-    hi = x >> 16
-    t = (
-        jnp.concatenate([x & MASK, jnp.zeros_like(x[:1])], axis=0)
-        + jnp.concatenate([jnp.zeros_like(hi[:1]), hi], axis=0)
-    )
-    return _resolve(t)
-
-
-def _carry_pre(x):
-    """_carry for inputs whose limbs are ALREADY <= 2^17 - 2 (e.g. the
-    raw sum of two carried values, or a carried value plus a <= 977*2
-    fold term): the split pass is the identity, so go straight to the
-    packed resolution.  Output gains one row for the possible top carry.
-    """
-    return _resolve(jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0))
-
-
-def _resolve(t):
-    """Packed-ripple resolution for t with limbs <= 2^17 - 2 (so g is a
-    single bit and g=1 forces d < MASK; see _carry)."""
-    K1 = t.shape[0]
+    K = t.shape[0]
     d = t & MASK
     g = t >> 16
     # per-row bit weights as splat-constant rows (scalar splats lower
     # everywhere; vector-shift-by-iota does not)
     bl = t.shape[1]
     w = jnp.concatenate(
-        [jnp.full((1, bl), np.uint32(1 << i), jnp.uint32) for i in range(K1)], axis=0
+        [jnp.full((1, bl), np.uint32(1 << i), jnp.uint32) for i in range(K)], axis=0
     )
     # g/p are 0/1: gate the weight rows with selects instead of
     # multiplies (the VPU's u32 mul runs at ~half its add/select rate)
@@ -150,7 +140,94 @@ def _resolve(t):
     c = (s ^ v ^ uu) | uu
     # bit i of c, as 0/1 per row ((c & 2^i) == 2^i; unsigned min/ne do
     # not legalize on Mosaic, eq does)
-    return (d + ((c & w) == w).astype(jnp.uint32)) & MASK
+    r = (d + ((c & w) == w).astype(jnp.uint32)) & MASK
+    return r, (c >> K) & jnp.uint32(1)
+
+
+def _carry(x):
+    """Exact carry: (K, BL) any uint32 -> (K+1, BL) strict limbs, same
+    value (total value < 2^{16(K+1)} guarantees no carry out of the
+    extended top row).  Kept for the analysis tools (tools/phase_bench,
+    tools/mxu_fold_study); the kernel bodies use the wrapped forms."""
+    hi = x >> 16
+    t = (
+        jnp.concatenate([x & MASK, jnp.zeros_like(x[:1])], axis=0)
+        + jnp.concatenate([jnp.zeros_like(hi[:1]), hi], axis=0)
+    )
+    return _resolve_k(t)[0]
+
+
+def _wrap(r, wv):
+    """value(r) + wv * 2^256, with the overflow wrapped back into the
+    16-row window through 2^256 = 2^32 + 977 (mod p): rows 0 and 2 get
+    lazy additions (row0 += wv*977, row2 += wv).  r strict, wv (1, BL)."""
+    return jnp.concatenate(
+        [r[:1] + wv * jnp.uint32(C_LOW), r[1:2], r[2:3] + wv, r[3:]], axis=0
+    )
+
+
+def _carry_wrap(x):
+    """x (16, BL) ARBITRARY uint32 limbs, value < 2^272 -> the w16 form:
+    16 rows, row0 < 2^16 + w*977, row2 < 2^16 + w (w = o + cb < 2^16 the
+    total 2^256 overflow), all other rows strict; value = value(x) mod p
+    and < 2^256 + w*2^33.  ONE resolve: the 2^256 carry wraps back via
+    the sparse-prime identity instead of occupying a 17th row (which
+    would pad every consumer op to 24 sublanes).
+
+    In-kernel callers have w <= 2^11 (mul-lazy inputs have x[15] < 2^26
+    since value < 2^266; mul_small inputs have x[15] < 22*2^16), so w16
+    limbs stay < 2^21 — documented per call site."""
+    t, o = _split16(x)
+    r, cb = _resolve_k(t)
+    return _wrap(r, o + cb)
+
+
+def _split_wrapped(y):
+    """_split16 specialized to a _wrap output: only rows 0 and 2 can
+    exceed 2^16 (their carries land in strict rows 1 and 3: sums
+    <= (2^16-1) + hi < 2^17 - 2 for hi < 2^10), and row15 is strict so
+    there is no 2^256 overflow.  Returns t (16, BL) limbs <= 2^17 - 2."""
+    hi0 = y[0:1] >> 16
+    hi2 = y[2:3] >> 16
+    return jnp.concatenate(
+        [y[0:1] & MASK, y[1:2] + hi0, y[2:3] & MASK, y[3:4] + hi2, y[4:]], axis=0
+    )
+
+
+def _tail(r, wv):
+    """Exact 6-limb fold of value(r) + wv * 2^256 to strict f16,
+    REQUIRING wv in {0, 1} and (wv = 1 => value(r) < 2^80): wv = 1 then
+    forces r rows 5.. to zero so the 6-row window sum stays < 2^96 (no
+    carry out of the head resolve), wv = 0 adds nothing.  Callers: wv is
+    the carry bit of a second resolve on a value < 2^256 + 2^49, so
+    wv = 1 forces the remainder r < 2^49."""
+    extra = _pad_rows(wv * jnp.uint32(C_LOW), 0, 5) + _pad_rows(wv, 2, 3)
+    # limbs <= (2^16-1) + 977 <= 2^17-2: directly resolvable; the carry
+    # out is provably 0 (see above), drop it
+    head, _cb = _resolve_k(r[:6] + extra)
+    return jnp.concatenate([head, r[6:]], axis=0)
+
+
+def _tighten(x):
+    """x (16, BL) ARBITRARY uint32 limbs, value < 2^272 -> strict f16
+    (all limbs < 2^16), same value mod p.  Two resolves: the first
+    leaves a wrapped excess at rows 0/2 with value < 2^256 + 2^16*2^33
+    < 2^256 + 2^49; the second resolve's carry bit cb then satisfies
+    cb = 1 => remainder < 2^49, making the exact 6-limb _tail fold
+    applicable."""
+    y = _carry_wrap(x)
+    r, cb = _resolve_k(_split_wrapped(y))
+    return _tail(r, cb)
+
+
+def _tighten_s17(x):
+    """_tighten for x whose limbs are ALREADY <= 2^17 - 2 (e.g. the raw
+    sum of two strict values): skips the split pass.  value < 2^257
+    => wrapped value < 2^256 + 2^34, tail precondition holds."""
+    r, cb = _resolve_k(x)
+    y = _wrap(r, cb)
+    r2, cb2 = _resolve_k(_split_wrapped(y))
+    return _tail(r2, cb2)
 
 
 def _pad_rows(x, before: int, after: int):
@@ -180,113 +257,19 @@ def _lazy_fold(x):
     )
 
 
-def _fold_rows(c):
-    """Lazily fold every row >= 16 of a CARRIED (R, L) value back into
-    the 16-limb window (generalizes the single-top-limb fold of
-    ops.limb._fold_top_lazy to R <= 19): row 16+j (< 2^16) contributes
-    o_j * 2^{16 j} * (2^32 + 977), i.e. o_j*977 at row j and o_j at
-    row j+2.  Output: 16 LAZY rows, limbs < 2^16 + (R-16)*978*2^16
-    < 2^28 for R <= 19 (u32-safe); callers state the resulting VALUE
-    bound (which drives whether the following carry may skip its split
-    pass and whether _fold_tail's o-in-{0,1} window holds)."""
-    lo, hi = c[:NLIMB], c[NLIMB:]
-    out = lo
-    for j in range(hi.shape[0]):
-        o = hi[j : j + 1]
-        out = (
-            out
-            + _pad_rows(o * jnp.uint32(C_LOW), j, NLIMB - 1 - j)
-            + _pad_rows(o, j + 2, NLIMB - 3 - j)
-        )
-    return out
+def _add_f16(a, b):
+    """a + b mod p -> strict f16.  a, b: any 16-row forms with limbs
+    < 2^26 (strict / w16 / mul_small products) and values < 2^271."""
+    return _tighten(a + b)
 
 
-def _fold_tail(c):
-    """6-limb tail fold of a carried value < 2^256 + 2^80 (see ops.limb)."""
-    o = c[NLIMB : NLIMB + 1]
-    extra = _pad_rows(o * jnp.uint32(C_LOW), 0, 5) + _pad_rows(o, 2, 3)
-    # limbs <= (2^16-1) + 977 <= 2^17-2: skip the split pass
-    head = _carry_pre(c[:6] + extra)  # (7, ...): top row provably 0
-    return jnp.concatenate([head[:6], c[6:NLIMB]], axis=0)
-
-
-def _add(a, b):
-    """Field add for CARRIED operands of 16 or 17 rows; 17-row (c17)
-    operands may carry values up to ~2^271 but the two operands' values
-    must SUM below 2^272 (callers document this).  Output: fully
-    carried 16 rows (f16)."""
-    Ra, Rb = a.shape[0], b.shape[0]
-    R = max(Ra, Rb)
-    if Ra < R:
-        a = _pad_rows(a, 0, R - Ra)
-    if Rb < R:
-        b = _pad_rows(b, 0, R - Rb)
-    if R == NLIMB:
-        # both < 2^256: a+b limbs <= 2^17-2 and the folded value's
-        # limbs are <= 2^16-1+977: both carries skip the split pass
-        return _fold_tail(_carry_pre(_fold_rows(_carry_pre(a + b))))
-    # 17-row: limbs <= 2^17-2 (pre-carry OK) -> 18 carried rows whose
-    # top row is provably ZERO (value < 2^272), trimmed; folding row 16
-    # (o < 2^16) leaves 16 lazy rows < 2^26 (full carry) and value
-    # < 2^256 + o*(2^32+977) < 2^256 + 2^49 -> tail fold exact.
-    c = _carry_pre(a + b)[: NLIMB + 1]
-    return _fold_tail(_carry(_fold_rows(c)))
-
-
-def _subs(kc):
-    """Subtraction closures over the (17, 4) kernel-constant input
-    (Mosaic rejects captured array constants, so the fold offsets arrive
-    as inputs; see _kc).  Both accept 16- OR 17-row operands (the c17
-    deferred-reduction form, value < 2^271):
-
-      sub(a, b)      — b CARRIED (limbs < 2^16): complement identity
-                       sum_i (0xffff - b_i) 2^{16 i} = (2^{16 R} - 1) - b
-                       so a - b == a + w + ((1 - 2^{16 R}) mod p); the
-                       R=16 offset is K2 = 2p - 2^256 + 1 (identical to
-                       limb.sub), R=17 is K2_17 = (1 - 2^272) mod p.
-      sub_lazy(a, b) — b LAZY (limbs <= 2^17 - 2, e.g. a raw t0 + t1
-                       sum of carried values): widen the complement to
-                       W17 = 2^17 - 1 and compensate with
-                       K2L(R) = (-(W17 * sum_{i<R} 2^{16 i})) mod p.
-
-    Bounds (R = 17 worst case): limb sums < 2^16 + 2^17 + 2^16 < 2^19
-    (uint32-safe); total value < 2^271 + W17*S17 + p < 2^274, so the
-    full carry's 18 rows have row 17 <= 3; _fold_rows leaves 16 lazy
-    rows < 2^27 (full re-carry) and value < 2^256 + o_0*(2^32+977)
-    + o_1*(2^48+977*2^16) < 2^256 + 2^51 — inside _fold_tail's exact
-    window.  For R = 16 the value is < 2^256 + W17*S16 + p < 2^259
-    (top limb <= 6, folded limbs <= 2^16-1 + 6*977: pre-carry, value
-    < 2^256 + 2^36), as before."""
-    def _general(a, b, w, c16, c17):
-        Ra, Rb = a.shape[0], b.shape[0]
-        col = c16 if Rb == NLIMB else c17
-        R = max(Ra, Rb)
-        if Ra < R:
-            a = _pad_rows(a, 0, R - Ra)
-        if Rb < R:
-            w = _pad_rows(w, 0, R - Rb)
-        # pure slice of the (17, 4) constant — row 16 is zero padding,
-        # so the R-row view is value-correct for both R = 16 and 17 and
-        # never needs a concat (see _kc: Mosaic rejects padding a
-        # lane-offset column slice)
-        k = kc[:R, col : col + 1]
-        c = _carry(a + w + k)  # (R+1) carried rows
-        if R == NLIMB:
-            return _fold_tail(_carry_pre(_fold_rows(c)))
-        return _fold_tail(_carry(_fold_rows(c)))
-
-    def sub(a, b):
-        return _general(a, b, jnp.uint32(MASK) - b, 0, 2)
-
-    def sub_lazy(a, b):
-        return _general(a, b, jnp.uint32(2 * MASK + 1) - b, 1, 3)
-
-    return sub, sub_lazy
-
-
-def _make_sub(kc):
-    """Carried-operand subtract (table negations)."""
-    return _subs(kc)[0]
+def _sub_f16(kc, a, b):
+    """a - b mod p -> strict f16.  a: limbs < 2^26, value < 2^257 (w16
+    or strict); b: limbs <= W_COMP (strict / w16 / raw sum of two w16 /
+    small multiples of strict — all < 2^23).  Complement identity (see
+    _kc): operand limbs < 2^26 + 2^26 + 2^16 (uint32-safe), value
+    < a + W_COMP*S16 + p < 2^268 < 2^272 (_tighten's window)."""
+    return _tighten(a + (jnp.uint32(W_COMP) - b) + kc)
 
 
 def _merge_off(p1, o1, p2, o2):
@@ -306,22 +289,22 @@ def _merge_off(p1, o1, p2, o2):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def _mul_c17(a, b):
-    """(16, BL) x (16, BL) -> a*b mod p in the c17 deferred form: 17
-    CARRIED rows (limbs < 2^16), value < 2^266.  Partial products as 16-row
+def _mul_lazy(a, b):
+    """(16, BL) strict x strict -> a*b as 16 LAZY rows: limbs
+    < 2*979*2^21 < 2^32, value < 2^266.  Partial products as 16-row
     planes at limb offsets 0..16: 16 broadcast multiplies, no 3-D
     tensors.  Step i combines lo_i with the previous step's hi (both
     land at offset i, rows < 2^17); the 17 planes are then summed by a
     balanced offset-merge tree (_merge_off) in which only overlapping
-    rows pay adds — ~2.4k element-ops/lane versus ~8.2k for the
+    rows pay adds -- ~2.4k element-ops/lane versus ~8.2k for the
     sequential 32-row padded-accumulator form (the columns are the same
     terms in a different association order, all partial sums bounded by
     the final column sums < 16 * 2^17 = 2^21).  BOTH reduction folds
-    stack lazily (< 2*979*2^21 < 2^32).  The lazy value can reach
-    ~2^266, so the first carry's top limb is up to ~2^11 with arbitrary
-    low limbs — one more lazy top-fold + full carry is required before
-    the 6-limb tail fold is exact (see ops.limb.mul; dropping it loses
-    a 2^96 carry on saturated-limb inputs)."""
+    stack lazily.  Consumers finish with _carry_wrap (additive
+    consumers) or _tighten (mul inputs / kernel outputs) -- the r2
+    dropped-carry lesson lives there: the lazy value reaches ~2^266, so
+    a single resolve leaves a remainder that is NOT provably small;
+    only _tighten's second resolve makes the 6-limb tail exact."""
     parts = []
     hi_prev = None
     for i in range(NLIMB):
@@ -340,90 +323,85 @@ def _mul_c17(a, b):
             nxt.append(parts[-1])
         parts = nxt
     acc = parts[0][0]  # (32, BL) at offset 0
-    return _carry(_lazy_fold(_lazy_fold(acc)))
+    return _lazy_fold(_lazy_fold(acc))
 
 
-def _mul(a, b):
-    """Fully reduced product: f16 x f16 -> f16 (carried 16 rows,
-    value < 2^256).  Use for values that feed another mul or leave the
-    kernel; additive consumers should take _mul_c17 and absorb the top
-    row into their own reduction."""
-    c = _mul_c17(a, b)
-    # folded limbs < 2^16 + 2^16*977 < 2^26 (full carry); value
-    # < 2^256 + 2^49 -> tail fold exact
-    return _fold_tail(_carry(_fold_rows(c)))
+def _mul_w16(a, b):
+    """strict x strict -> w16 product (ONE resolve; the lazy top limb
+    x[15] < 2^26 since the value < 2^266, so w < 2^11 and the w16 limbs
+    stay < 2^21).  Use when every consumer is additive."""
+    return _carry_wrap(_mul_lazy(a, b))
 
 
-def _mul_small(a, k: int, c17: bool = False):
-    """a * k mod p for a small host constant 0 <= k <= 32; a carried
-    16 or 17 rows (17-row value < 2^266, so k*value < 2^271).  Output
-    f16, or the c17 form when c17=True (17 carried rows, value
-    < k * 2^266 < 2^271)."""
-    assert 0 <= k <= 32, k
-    c = _carry(a * jnp.uint32(k))  # product limbs < k * 2^16 < 2^21
-    if a.shape[0] == NLIMB + 1:
-        # value < k * 2^266 < 2^272 for k <= 32: row 17 provably zero
-        c = c[: NLIMB + 1]
-    if c17:
-        return c
-    # folded limbs < 2^16 + 2^15*977 < 2^26 (full carry); value
-    # < 2^256 + 2^15*(2^32+977) < 2^256 + 2^48 -> tail fold exact
-    return _fold_tail(_carry(_fold_rows(c)))
+def _mul_f16(a, b):
+    """strict x strict -> strict product (feeds another mul or leaves
+    the kernel)."""
+    return _tighten(_mul_lazy(a, b))
+
+
+def _mul_small_w16(a, k: int):
+    """a * k -> w16 for a small host constant 1 <= k <= 32; a strict or
+    w16 (limbs < 2^26, so products < 2^31 are uint32-exact; value
+    < 32 * 2^257 < 2^262)."""
+    assert 1 <= k <= 32, k
+    return _carry_wrap(a * jnp.uint32(k))
+
+
+def _mul_small_f16(a, k: int):
+    """a * k -> strict f16 (same operand bounds as _mul_small_w16)."""
+    assert 1 <= k <= 32, k
+    return _tighten(a * jnp.uint32(k))
 
 
 def _padd_body(kc, x1, y1, z1, x2, y2, z2):
-    """RCB complete addition (same algebra as ops.curve.padd; the small
-    3x multiple and the Karatsuba-correction subtrahends are restructured
-    for op count: 3*t0 as one mul_small instead of two carried adds, and
-    t0+t1 etc. fed to sub_lazy as raw limb sums — both are ~10x cheaper
-    than a carried field add).
+    """RCB complete addition (same algebra as ops.curve.padd).  Inputs
+    and outputs are strict f16.
 
-    Reduction scheduling: every product stays in the 17-row carried c17
-    form (value < 2^266) because every consumer here is additive — the
-    adds/subs absorb the extra top row into the single reduction they
-    run anyway, so each mul skips its ~560-op/lane final fold; only
-    values feeding another mul (the t3/t4/t5 sub outputs, t0_3, z3t,
-    t1m, y3b) or leaving the kernel are fully carried f16."""
-    mc, a = _mul_c17, _add
-    s, sl = _subs(kc)
-    t0 = mc(x1, x2)
-    t1 = mc(y1, y2)
-    t2 = mc(z1, z2)
-    # t0+t1 etc: 17-row lazy sums, limbs <= 2^17-2 (sub_lazy b-operand)
-    t3 = sl(mc(a(x1, y1), a(x2, y2)), t0 + t1)
-    t4 = sl(mc(a(y1, z1), a(y2, z2)), t1 + t2)
-    t5 = sl(mc(a(x1, z1), a(x2, z2)), t0 + t2)
-    t0_3 = _mul_small(t0, 3)
-    t2b = _mul_small(t2, B3, c17=True)  # value < 21*2^266 < 2^271
-    z3t = a(t1, t2b)  # operand values sum < 2^266 + 2^271 < 2^272
-    t1m = s(t1, t2b)
-    y3b = _mul_small(t5, B3)
-    x3 = s(mc(t3, t1m), mc(t4, y3b))
-    y3 = a(mc(y3b, t0_3), mc(t1m, z3t))
-    z3 = a(mc(z3t, t4), mc(t0_3, t3))
+    Form discipline (module docstring): every product is ONE _mul_lazy;
+    products whose consumers are all additive finish with a single
+    wrapped carry (w16: t0, t1, t2 and the six x3/y3/z3-assembly
+    products), while products and sums feeding another multiplication
+    finish with _tighten (strict).  Subtrahend limb bounds at each
+    _sub_f16 call: t0+t1 etc are raw sums of two w16 (< 2^22 <= W_COMP),
+    t2b is w16 (< 2^17: its wrap excess is <= 22), the x3 subtrahend is
+    w16 (< 2^21)."""
+    mw = _mul_w16
+    af = _tighten_s17  # strict + strict input adds (limbs <= 2^17 - 2)
+    t0 = mw(x1, x2)
+    t1 = mw(y1, y2)
+    t2 = mw(z1, z2)
+    t3 = _sub_f16(kc, mw(af(x1 + y1), af(x2 + y2)), t0 + t1)
+    t4 = _sub_f16(kc, mw(af(y1 + z1), af(y2 + z2)), t1 + t2)
+    t5 = _sub_f16(kc, mw(af(x1 + z1), af(x2 + z2)), t0 + t2)
+    t0_3 = _mul_small_f16(t0, 3)
+    t2b = _mul_small_w16(t2, B3)
+    z3t = _tighten(t1 + t2b)  # w16 + w16: limbs < 2^22, value < 2^262
+    t1m = _sub_f16(kc, t1, t2b)
+    y3b = _mul_small_f16(t5, B3)
+    x3 = _sub_f16(kc, mw(t3, t1m), mw(t4, y3b))
+    y3 = _tighten(mw(y3b, t0_3) + mw(t1m, z3t))
+    z3 = _tighten(mw(z3t, t4) + mw(t0_3, t3))
     return x3, y3, z3
 
 
 def _pdbl_body(kc, x, y, z):
-    """RCB complete doubling (same algebra as ops.curve.pdbl; the 8x and
-    3x multiples run as single mul_smalls instead of add chains).
-    Reduction scheduling as in _padd_body: products with additive
-    consumers stay c17; mul inputs (z3, t1, t2, t0s, m(x,y)) and kernel
-    outputs are f16."""
-    m, mc, a = _mul, _mul_c17, _add
-    s, _ = _subs(kc)
-    t0 = mc(y, y)
-    z3 = _mul_small(t0, 8)
-    t1 = m(y, z)
-    t2 = _mul_small(mc(z, z), B3)
-    x3 = mc(t2, z3)
-    y3 = a(t0, t2)  # 2^266 + 2^256 < 2^272
-    z3 = m(t1, z3)
-    t0s = s(t0, _mul_small(t2, 3, c17=True))
-    y3 = a(x3, mc(t0s, y3))  # 2^266 + 2^266 < 2^272
-    x3 = mc(t0s, m(x, y))
-    x3 = a(x3, x3)  # 2 * 2^266 < 2^272
-    return x3, y3, z3
+    """RCB complete doubling (same algebra as ops.curve.pdbl; the 8x,
+    21x and 3x multiples run as single mul_smalls).  Form discipline as
+    in _padd_body: w16 for additive-consumed products, strict for mul
+    inputs (z3, t1, t2, y3a, t0s, x*y) and for kernel outputs."""
+    t0 = _mul_w16(y, y)
+    z3 = _mul_small_f16(t0, 8)
+    t1 = _mul_f16(y, z)
+    t2 = _mul_small_f16(_mul_w16(z, z), B3)
+    x3 = _mul_w16(t2, z3)
+    y3a = _tighten(t0 + t2)  # w16 + strict
+    z3o = _mul_f16(t1, z3)
+    # subtrahend 3*t2: strict * 3 < 2^18 <= W_COMP, raw (no carry needed)
+    t0s = _sub_f16(kc, t0, t2 * jnp.uint32(3))
+    y3 = _tighten(x3 + _mul_w16(t0s, y3a))  # w16 + w16
+    u = _mul_w16(t0s, _mul_f16(x, y))
+    x3o = _tighten(u + u)  # 2*(t0s*(x*y)); w16 + w16
+    return x3o, y3, z3o
 
 
 def _kernel(k2, x1, y1, z1, x2, y2, z2, ox, oy, oz):
@@ -521,7 +499,7 @@ def reduce_block_pallas(p, factor: int = 8, interpret: bool = False):
     grid = W // blk
     spec = pl.BlockSpec((NLIMB, blk), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, W // factor), jnp.uint32)
     k2 = jnp.asarray(_kc())
     return pl.pallas_call(
@@ -544,7 +522,6 @@ def _table_flat_kernel(k2, px, py, pz, ox, oy, oz):
     blk = bx.shape[-1]
     zero = jnp.zeros((NLIMB, blk), jnp.uint32)
     one = jnp.concatenate([jnp.ones((1, blk), jnp.uint32), jnp.zeros((NLIMB - 1, blk), jnp.uint32)], 0)
-    sub = _make_sub(k2v)
     entries = [(zero, one, zero), (bx, by, bz)]
     acc = (bx, by, bz)
     for _ in range(7):
@@ -553,7 +530,7 @@ def _table_flat_kernel(k2, px, py, pz, ox, oy, oz):
     ox[:] = jnp.concatenate([e[0] for e in entries], axis=0)
     oz[:] = jnp.concatenate([e[2] for e in entries], axis=0)
     ys = [e[1] for e in entries]
-    nys = [sub(zero, y) for y in ys]
+    nys = [_sub_f16(k2v, zero, y) for y in ys]
     oy[:] = jnp.concatenate(ys + nys, axis=0)
 
 
@@ -565,7 +542,7 @@ def table_flat_pallas(px, py, pz, interpret: bool = False):
     assert L % 1024 == 0
     ms = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((NLIMB, 1024), lambda i: (0, i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=ms)
     o9 = pl.BlockSpec((144, 1024), lambda i: (0, i), memory_space=ms)
     o18 = pl.BlockSpec((288, 1024), lambda i: (0, i), memory_space=ms)
     k2 = jnp.asarray(_kc())
@@ -600,7 +577,6 @@ def _select_reduce_scratch_kernel(k2, d, s, px, py, pz, ox, oy, oz, tx, ty2, tz)
         one = jnp.concatenate(
             [jnp.ones((1, blk), jnp.uint32), jnp.zeros((NLIMB - 1, blk), jnp.uint32)], 0
         )
-        sub = _make_sub(k2v)
         entries = [(zero, one, zero), (bx, by, bz)]
         acc = (bx, by, bz)
         for _ in range(7):
@@ -609,7 +585,7 @@ def _select_reduce_scratch_kernel(k2, d, s, px, py, pz, ox, oy, oz, tx, ty2, tz)
         tx[:] = jnp.concatenate([e[0] for e in entries], axis=0)
         tz[:] = jnp.concatenate([e[2] for e in entries], axis=0)
         ys = [e[1] for e in entries]
-        nys = [sub(zero, y) for y in ys]
+        nys = [_sub_f16(k2v, zero, y) for y in ys]
         ty2[:] = jnp.concatenate(ys + nys, axis=0)
 
     dv = d[:]
@@ -648,7 +624,7 @@ def select_reduce_fused_pallas(px, py, pz, absd, sgn, interpret: bool = False):
     pspec = pl.BlockSpec((NLIMB, 1024), lambda i, r: (0, i), memory_space=ms)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
     k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
@@ -717,7 +693,7 @@ def select_reduce_pallas(tx_flat, ty2_flat, tz_flat, absd, sgn, interpret: bool 
     # exactly row r's lanes [i*1024, (i+1)*1024)
     dspec = pl.BlockSpec((1, 1024), lambda i, r: (0, r * nblk + i), memory_space=ms)
     ospec = pl.BlockSpec((NLIMB, 128), lambda i, r: (0, r * nblk + i), memory_space=ms)
-    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i, r: (0, 0), memory_space=ms)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i, r: (0, 0), memory_space=ms)
     out = jax.ShapeDtypeStruct((NLIMB, rows * (L // 8)), jnp.uint32)
     k2 = jnp.asarray(_kc())
     dflat = absd.astype(jnp.uint32).reshape(1, rows * L)
@@ -790,7 +766,7 @@ def padd_pallas(p, q, block: int = 512, interpret: bool = False):
     bl = min(block, L)
     assert L % bl == 0
     spec = pl.BlockSpec((NLIMB, bl), lambda i: (0, i), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    kspec = pl.BlockSpec((NLIMB + 1, 4), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
     out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
     k2 = jnp.asarray(_kc())
     ox, oy, oz = pl.pallas_call(

@@ -165,7 +165,7 @@ def test_mul_dropped_carry_regression():
 
     # pallas kernel path (interpret): the fused padd uses the same mul;
     # exercise it via a point with the offending coordinate arithmetic
-    from bulletproofspp_tpu.ops.pallas_field import _mul as pallas_mul
+    from bulletproofspp_tpu.ops.pallas_field import _mul_f16 as pallas_mul
     import jax
 
     got_p = limb.unpack_ints(

@@ -1,12 +1,14 @@
-"""Deferred-reduction (c17) form parity for the Pallas field bodies.
+"""Wrapped-form (w16) parity for the Pallas field bodies.
 
-The kernel bodies keep products in a 17-row carried form and let the
-additive consumers absorb the top row (pallas_field._padd_body
-docstring).  These tests pin every mixed-form path against exact host
-bignum evaluation of the same RCB algebra, on RANDOM and on
-ADVERSARIAL saturated-limb operands (long 0xFFFF runs — the operand
-class that exposed the round-2 dropped-carry bug, see
-test_ops_limb.test_mul_dropped_carry_regression).
+The round-4 kernel bodies keep every value in exactly 16 rows (2 VPU
+sublane tiles): products whose consumers are additive finish with ONE
+wrapped carry (`_carry_wrap`, the 2^256 overflow folded back through
+2^256 = 2^32 + 977 mod p into rows 0/2) and only mul inputs / kernel
+outputs pay the strict two-resolve `_tighten`.  These tests pin every
+mixed-form path against exact host bignum evaluation of the same RCB
+algebra, on RANDOM and on ADVERSARIAL saturated-limb operands (long
+0xFFFF runs — the operand class that exposed the round-2 dropped-carry
+bug, see test_ops_limb.test_mul_dropped_carry_regression).
 
 Runs the plain jnp bodies on CPU (no pallas_call): the arithmetic is
 identical to what Mosaic compiles; the kernel-launch plumbing has its
@@ -58,63 +60,124 @@ def _vals_of(arr):
     ]
 
 
-def test_mul_c17_form_and_value():
+def _check_w16(arr, name="", row_bound=1 << 21):
+    """The w16 contract: 16 rows; rows other than 0/2 strict (< 2^16);
+    rows 0/2 lazily elevated but < row_bound (2^21 at every in-kernel
+    call site where the wrap excess w <= 2^11; < 2^26 in full
+    generality, w <= 2^16); value < 2^256 + 2^49."""
+    a = np.asarray(arr)
+    assert a.shape[0] == pf.NLIMB, name
+    strict_rows = [1] + list(range(3, pf.NLIMB))
+    assert a[strict_rows].max() <= 0xFFFF, name
+    assert a[0].max() < row_bound and a[2].max() < row_bound, name
+    for v in _vals_of(a):
+        assert v < (1 << 256) + (1 << 49), name
+    return a
+
+
+def _check_f16(arr, name=""):
+    a = np.asarray(arr)
+    assert a.shape[0] == pf.NLIMB, name
+    assert a.max() <= 0xFFFF, name
+    for v in _vals_of(a):
+        assert v < 1 << 256, name  # strict limbs (not nec. canonical)
+    return a
+
+
+def test_mul_w16_form_and_value():
     a_int = VALS
     b_int = VALS[::-1]
     a = jnp.asarray(limb.pack_ints(a_int))
     b = jnp.asarray(limb.pack_ints(b_int))
-    c = jax.jit(pf._mul_c17)(a, b)
-    assert c.shape[0] == pf.NLIMB + 1
-    cn = np.asarray(c)
-    assert cn.max() <= 0xFFFF, "c17 rows must be carried (< 2^16)"
-    for v, x, y in zip(_vals_of(cn), a_int, b_int):
-        assert v < 1 << 266, "c17 value bound"
+    c = _check_w16(jax.jit(pf._mul_w16)(a, b), "mul_w16")
+    for v, x, y in zip(_vals_of(c), a_int, b_int):
+        assert v % Q == x * y % Q
+
+
+def test_mul_f16_strict():
+    a = jnp.asarray(limb.pack_ints(VALS))
+    b = jnp.asarray(limb.pack_ints(VALS[::-1]))
+    c = _check_f16(jax.jit(pf._mul_f16)(a, b), "mul_f16")
+    for v, x, y in zip(_vals_of(c), VALS, VALS[::-1]):
         assert v % Q == x * y % Q
 
 
 def test_mul_small_forms():
     a = jnp.asarray(limb.pack_ints(VALS))
-    c17 = jax.jit(lambda x: pf._mul_small(x, 21, c17=True))(a)
-    assert c17.shape[0] == pf.NLIMB + 1 and np.asarray(c17).max() <= 0xFFFF
-    for v, x in zip(_vals_of(c17), VALS):
+    w = _check_w16(jax.jit(lambda x: pf._mul_small_w16(x, 21))(a), "muls_w16")
+    for v, x in zip(_vals_of(w), VALS):
         assert v % Q == 21 * x % Q
-    # 17-row input -> f16 output
-    m = jax.jit(pf._mul_c17)(a, a)
-    f = jax.jit(lambda x: pf._mul_small(x, 21))(m)
-    assert f.shape[0] == pf.NLIMB
-    for v, x in zip(_vals_of(np.asarray(f)), VALS):
-        assert v < 1 << 256 and v % Q == 21 * x * x % Q
+    # w16 input (a mul product) -> both output forms
+    m = jax.jit(pf._mul_w16)(a, a)
+    f = _check_f16(jax.jit(lambda x: pf._mul_small_f16(x, 8))(m), "muls_f16")
+    for v, x in zip(_vals_of(f), VALS):
+        assert v % Q == 8 * x * x % Q
+    w2 = _check_w16(jax.jit(lambda x: pf._mul_small_w16(x, 32))(m), "muls_w16_w")
+    for v, x in zip(_vals_of(w2), VALS):
+        assert v % Q == 32 * x * x % Q
 
 
-def test_add_sub_mixed_rows():
+def test_add_sub_mixed_forms():
+    """Every add/sub operand-form combination the kernel bodies use,
+    against bignum.  All outputs must satisfy the strict f16 contract."""
     kc = jnp.asarray(pf._kc())
     a = jnp.asarray(limb.pack_ints(VALS))
     b = jnp.asarray(limb.pack_ints(VALS[::-1]))
-    ma = jax.jit(pf._mul_c17)(a, a)  # c17, value < 2^266
-    mb = jax.jit(pf._mul_c17)(b, b)
-    sub, sub_lazy = pf._subs(kc)
+    zero = jnp.zeros_like(a)
+    ma = jax.jit(pf._mul_w16)(a, a)  # w16, x^2
+    mb = jax.jit(pf._mul_w16)(b, b)  # w16, y^2
     cases = {
-        "add_17_17": (jax.jit(pf._add)(ma, mb), lambda x, y: x * x + y * y),
-        "add_17_16": (jax.jit(pf._add)(ma, b), lambda x, y: x * x + y),
-        "add_16_17": (jax.jit(pf._add)(b, ma), lambda x, y: x * x + y),
-        "sub_17_17": (jax.jit(sub)(ma, mb), lambda x, y: x * x - y * y),
-        "sub_17_16": (jax.jit(sub)(ma, b), lambda x, y: x * x - y),
-        "sub_16_17": (jax.jit(sub)(a, mb), lambda x, y: x - y * y),
-        "sublazy_17x2": (
-            jax.jit(sub_lazy)(ma, ma + mb),
-            lambda x, y: x * x - (x * x + y * y),
+        # _add_f16 / _tighten add paths
+        "add_w16_w16": (jax.jit(pf._add_f16)(ma, mb), lambda x, y: x * x + y * y),
+        "add_w16_f16": (jax.jit(pf._add_f16)(ma, b), lambda x, y: x * x + y),
+        "tighten_w16_sum": (
+            jax.jit(lambda p, q: pf._tighten(p + q))(ma, mb),
+            lambda x, y: x * x + y * y,
         ),
-        "sublazy_16_17": (
-            jax.jit(sub_lazy)(a, ma + mb),
-            lambda x, y: x - (x * x + y * y),
+        "tighten_s17": (
+            jax.jit(lambda p, q: pf._tighten_s17(p + q))(a, b),
+            lambda x, y: x + y,
+        ),
+        # _sub_f16 subtrahend classes (docstring bounds)
+        "sub_w16_w16": (
+            jax.jit(lambda p, q: pf._sub_f16(kc, p, q))(ma, mb),
+            lambda x, y: x * x - y * y,
+        ),
+        "sub_w16_raw2": (  # raw sum of two w16 as subtrahend
+            jax.jit(lambda p, q: pf._sub_f16(kc, p, p + q))(ma, mb),
+            lambda x, y: -(y * y),
+        ),
+        "sub_f16_w16": (
+            jax.jit(lambda p, q: pf._sub_f16(kc, p, q))(a, mb),
+            lambda x, y: x - y * y,
+        ),
+        "sub_small_multiple": (  # strict * 3 raw subtrahend (pdbl t0s)
+            jax.jit(lambda p, q: pf._sub_f16(kc, p, q * jnp.uint32(3)))(ma, b),
+            lambda x, y: x * x - 3 * y,
+        ),
+        "neg": (  # table negation: zero minuend
+            jax.jit(lambda p, q: pf._sub_f16(kc, p, q))(zero, b),
+            lambda x, y: -y,
         ),
     }
     for name, (got, want_fn) in cases.items():
-        got_arr = np.asarray(got)
-        assert got_arr.shape[0] == pf.NLIMB, name
+        got_arr = _check_f16(got, name)
         for v, x, y in zip(_vals_of(got_arr), VALS, VALS[::-1]):
-            assert v < 1 << 256, name  # f16 contract (not nec. canonical)
             assert v % Q == want_fn(x, y) % Q, name
+
+
+def test_tighten_arbitrary_saturated():
+    """_tighten / _carry_wrap on fully saturated arbitrary-limb input
+    (every limb 2^32 - 1, value (2^16+1)(2^256-1) — above 2^256 by 2^16x,
+    the worst case any kernel sum can approach)."""
+    x = jnp.full((pf.NLIMB, 4), np.uint32(0xFFFFFFFF), jnp.uint32)
+    want = ((2**32 - 1) * sum(1 << (16 * i) for i in range(16))) % Q
+    f = _check_f16(jax.jit(pf._tighten)(x), "tighten_sat")
+    for v in _vals_of(f):
+        assert v % Q == want
+    w = _check_w16(jax.jit(pf._carry_wrap)(x), "wrap_sat", row_bound=1 << 26)
+    for v in _vals_of(w):
+        assert v % Q == want
 
 
 def _padd_ref(p1, p2):
@@ -162,6 +225,7 @@ def test_padd_pdbl_bodies_vs_bignum():
 
     got = jax.jit(pf._padd_body)(kc, *arrs1, *arrs2)
     for gi, g in enumerate(got):
+        _check_f16(g, f"padd coord {gi}")
         gv = [v % Q for v in _vals_of(np.asarray(g))]
         want = [
             _padd_ref(
@@ -174,6 +238,7 @@ def test_padd_pdbl_bodies_vs_bignum():
 
     got = jax.jit(pf._pdbl_body)(kc, *arrs1)
     for gi, g in enumerate(got):
+        _check_f16(g, f"pdbl coord {gi}")
         gv = [v % Q for v in _vals_of(np.asarray(g))]
         want = [_pdbl_ref((tri[0][j], tri[1][j], tri[2][j]))[gi] for j in range(n)]
         assert gv == want, f"pdbl coord {gi}"

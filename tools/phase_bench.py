@@ -44,7 +44,7 @@ def make_chain(body, nout=1, block=512):
     @functools.partial(jax.jit, static_argnames=())
     def run(a, b):
         spec = pl.BlockSpec((NLIMB, block), lambda i: (0, i), memory_space=pltpu.VMEM)
-        kspec = pl.BlockSpec((NLIMB, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((NLIMB, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
         out = jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)
         k2 = jnp.asarray(pf._kc())
         return pl.pallas_call(
@@ -60,23 +60,33 @@ def make_chain(body, nout=1, block=512):
 
 # --- phase bodies (x is a tuple of planes; keep a serial dependency) ----
 def body_mul(k2, x, b):
-    return (pf._mul(x[0], b[0]),)
+    return (pf._mul_f16(x[0], b[0]),)
+
+
+def body_mul_w16(k2, x, b):
+    # chainable strict proxy for the w16 product (mask rows 0/2 back to
+    # strict so the next iteration's operands stay in-contract)
+    return (pf._mul_w16(x[0], b[0]) & pf.MASK,)
 
 
 def body_add(k2, x, b):
-    return (pf._add(x[0], b[0]),)
+    return (pf._add_f16(x[0], b[0]),)
+
+
+def body_add_s17(k2, x, b):
+    return (pf._tighten_s17(x[0] + b[0]),)
 
 
 def body_sub(k2, x, b):
-    return (pf._subs(k2)[0](x[0], b[0]),)
+    return (pf._sub_f16(k2, x[0], b[0]),)
 
 
-def body_sub_lazy(k2, x, b):
-    return (pf._subs(k2)[1](x[0], b[0] + b[0]),)
+def body_sub_raw2(k2, x, b):
+    return (pf._sub_f16(k2, x[0], b[0] + b[0]),)
 
 
 def body_mul_small(k2, x, b):
-    return (pf._mul_small(x[0], 3),)
+    return (pf._mul_small_f16(x[0], 3),)
 
 
 def body_carry(k2, x, b):
@@ -110,13 +120,17 @@ def body_padd(k2, x, b):
 
 
 PHASES = [
-    # (name, body, n state planes, count in one padd)
+    # (name, body, n state planes, count in one padd): the w16 padd body
+    # is 12 mul_w16 + 5 sub_f16 + 3 tighten-adds + 6 s17-adds
+    # + 2 mul_small_f16 + 1 mul_small_w16 (~= mul_small_f16)
     ("padd", body_padd, 3, 1.0),
-    ("mul", body_mul, 1, 12.0),
+    ("mul_w16", body_mul_w16, 1, 12.0),
+    ("mul_f16", body_mul, 1, None),
     ("mul_small", body_mul_small, 1, 3.0),
-    ("add", body_add, 1, 4.0),
-    ("sub", body_sub, 1, 2.0),
-    ("sub_lazy", body_sub_lazy, 1, 3.0),
+    ("add", body_add, 1, 3.0),
+    ("add_s17", body_add_s17, 1, 6.0),
+    ("sub", body_sub, 1, 5.0),
+    ("sub_raw2", body_sub_raw2, 1, None),
     ("carry_full", body_carry, 1, None),
     ("prod_form", body_prodform, 1, None),
 ]
@@ -136,7 +150,7 @@ def best(fn, *a, iters=5):
 
 
 def counts_for(body, nstate):
-    k2 = jnp.zeros((NLIMB, 2), jnp.uint32)
+    k2 = jnp.zeros((NLIMB, 1), jnp.uint32)
     planes = [jnp.zeros((NLIMB, 256), jnp.uint32) for _ in range(nstate + 3)]
 
     def f(k2, *ps):
