@@ -133,7 +133,13 @@ def to_affine_host(p):
     ONE device dispatch + ONE host transfer for all three coordinates
     (three separate syncs each pay a tunnel round-trip).
     """
-    arr = np.asarray(_normalize3(*p))
+    return affine_from_normalized(np.asarray(_normalize3(*p)))
+
+
+def affine_from_normalized(arr):
+    """Host tail of ``to_affine_host``: a fetched (3, 16, K) canonical
+    projective array -> list of affine tuples / None (one Python modular
+    inverse per lane)."""
     X = limb.unpack_ints(arr[0])
     Y = limb.unpack_ints(arr[1])
     Z = limb.unpack_ints(arr[2])

@@ -183,16 +183,14 @@ def _assemble_fold(pairs, L):
     )
 
 
-@_partial(jax.jit, static_argnums=(1, 2))
-def _assemble_many(parts, sig, L):
-    """ONE compiled program assembling K MSM entries from device-resident
-    group arrays: slice to active counts, concatenate, GLV-interleave
-    with the endomorphism, pad to the lane bucket, stack.
+def _assemble_many_body(parts, sig, L):
+    """Trace-time body of ``_assemble_many`` (also inlined by the fused
+    ``_msm_many_norm`` program): assemble K MSM entries from
+    device-resident group arrays — slice to active counts, concatenate,
+    GLV-interleave with the endomorphism, pad to the lane bucket, stack.
 
     parts: flat tuple of (x, y, z) triples, entry-major; sig: tuple per
-    entry of that entry's group active-counts (static).  Compiled once
-    per call-site signature — replaces ~10 eager dispatches PER GROUP
-    (each ~1 ms through the tunneled backend) with one dispatch total.
+    entry of that entry's group active-counts (static).
     """
     out = []
     i = 0
@@ -219,6 +217,26 @@ def _assemble_many(parts, sig, L):
         jnp.stack([o[1] for o in out]),
         jnp.stack([o[2] for o in out]),
     )
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _msm_many_norm(parts, sig, L, digits):
+    """The WHOLE blocking oracle step as ONE device program: assembly +
+    vmapped MSM + projective normalization.  ``digits`` is the single
+    stacked (2, K, ROWS, L) upload of (absd, sgn).
+
+    The prover's transcript forces one blocking host<->device sync per
+    oracle call; through a tunneled backend every extra dispatch in that
+    window adds milliseconds of relay latency, so the step must be
+    exactly one upload + one dispatch + one get (VERDICT r3 item 7 —
+    single-stream prove latency).  Returns the stacked (3, 16, K)
+    canonical projective planes for the host-side affine conversion
+    (two modular inverses on host beat a 256-square Fermat chain on
+    device at these widths)."""
+    px, py, pz = _assemble_many_body(parts, sig, L)
+    acc = jax.vmap(msm.msm_kernel)(px, py, pz, digits[0], digits[1])
+    x, y, z = (jnp.moveaxis(c[..., 0], 0, -1) for c in acc)  # (16, K)
+    return curve._normalize3(x, y, z)
 
 
 class JaxEngine:
@@ -328,10 +346,12 @@ class JaxEngine:
         before one challenge, TypedReciprocal.hs:408-414) and by the
         lockstep prover's fused per-phase dispatch.
 
-        All device-side assembly (slice/concat/endo/pad/stack) runs as
-        ONE compiled program (_assemble_many) and all scalars of all
-        entries recode in one native call: through a tunneled device the
-        per-op dispatch otherwise dominates the whole round."""
+        The whole device side — assembly (slice/concat/endo/pad/stack),
+        the vmapped MSM, and normalization — runs as ONE compiled
+        program (_msm_many_norm) behind ONE stacked digit upload and ONE
+        blocking get, and all scalars of all entries recode in one
+        native call: through a tunneled device every extra dispatch in
+        the transcript-blocking window costs relay latency."""
         from .. import native
 
         entries = []
@@ -380,10 +400,9 @@ class JaxEngine:
 
         parts = tuple(t for comps, _ in entries for (t, _n) in comps)
         sig = tuple(tuple(n for _, n in comps) for comps, _ in entries)
-        px, py, pz = _assemble_many(parts, sig, L)
-        acc = msm._msm_pair_compiled(px, py, pz, jnp.asarray(absd), jnp.asarray(sgn))
-        x, y, z = (jnp.moveaxis(c[..., 0], 0, -1) for c in acc)  # (16, k)
-        pts = curve.to_affine_host((x, y, z))
+        # one upload + one dispatch + one blocking get (_msm_many_norm)
+        out = _msm_many_norm(parts, sig, L, jnp.asarray(np.stack([absd, sgn])))
+        pts = curve.affine_from_normalized(np.asarray(out))
         if not empty:
             return pts
         out, it = [], iter(pts)
