@@ -102,7 +102,12 @@ def bench_msm(n_points: int, iters: int):
     from bulletproofspp_tpu.core.fields import R
     from bulletproofspp_tpu.ops import curve, glv
     from bulletproofspp_tpu.ops.engine import _interleave_endo
-    from bulletproofspp_tpu.ops.msm import run_msm
+    from bulletproofspp_tpu.ops.msm import (
+        msm_tabled_kernel,
+        precompute_flat_table,
+        run_msm,
+        tabled_supported,
+    )
     from bulletproofspp_tpu import native
 
     rng = random.Random(2024)
@@ -118,10 +123,24 @@ def bench_msm(n_points: int, iters: int):
     ec.msm_host(scalars[:base_n], pts[:base_n])
     host_pps = base_n / (time.perf_counter() - t0)
 
-    # one-time basis packing (cached per setup in the engine)
+    # one-time basis packing (cached per setup in the engine), plus the
+    # 0P..8P multiple tables of the fixed basis (same caching class: pure
+    # precomputation of the setup, reused by every MSM against it)
     x, y, z = curve.from_affine_host(pts)
     px, py, pz = _interleave_endo(x, y, z)  # endomorphism on device
     jax.block_until_ready((px, py, pz))
+    tabled = tabled_supported(2 * n_points)
+    if tabled:
+        ftab = precompute_flat_table(px, py, pz)
+        jax.block_until_ready(ftab)
+
+        def msm_call(a):
+            return msm_tabled_kernel(*ftab, *a)
+
+    else:
+
+        def msm_call(a):
+            return run_msm(px, py, pz, *a)
 
     # scalar GENERATION is excluded from the e2e figure (it is test-input
     # synthesis, not pipeline work); GLV split + digit recode + transfer
@@ -150,34 +169,49 @@ def bench_msm(n_points: int, iters: int):
 
     # HONEST timing: materialize every output on host (block_until_ready
     # alone does not wait for remote execution on the tunneled backend).
-    # Each of the REPS samples runs all `iters` distinct input sets (so
-    # dispatch pipelining cannot hide work across samples) and pairs with
-    # an adjacent null dispatch; the reported figure is the median.
-    state = {"i": 0}
+    # EVERY materialization pays one tunnel round-trip, so every timed
+    # call pairs with its own adjacent null dispatch (the round-4 pass
+    # timing subtracted ONE null per `iters` calls and so reported
+    # ~RTT*(iters-1)/iters of pure tunnel latency as device time —
+    # ~19 ms of phantom work at 24 ms RTT).  Distinct input sets per
+    # call keep dispatch pipelining from hiding work.
+    def one_call(a):
+        null = _null_time()
+        t0 = time.perf_counter()
+        _ = np.asarray(msm_call(a)[0])
+        return time.perf_counter() - t0 - null, null
 
-    def one_pass():
+    one_call(argsets[0])  # warm (compile + cache)
+    nets, nulls = [], []
+    for _ in range(REPS):
         for a in argsets:
-            _ = np.asarray(run_msm(px, py, pz, *a)[0])
-
-    net_med, net_iqr, null_med = _timed_net(one_pass)
-    dev_net_s = net_med / iters
-    dev_s = dev_net_s + null_med / iters  # incl. the per-pass RTT share
+            net, null = one_call(a)
+            nets.append(net)
+            nulls.append(null)
+    dev_net_s = _median(nets)
+    net_iqr = _iqr(nets)
+    null_med = _median(nulls)
+    dev_s = dev_net_s + null_med  # incl. one tunnel RTT
 
     # end-to-end including per-iteration host scalar pipeline
-    def e2e_pass():
+    state = {"i": 0}
+
+    def e2e_call():
         i = state["i"] = state["i"] + 1
-        for j in range(iters):
-            _ = np.asarray(run_msm(px, py, pz, *digits(100 + 31 * i + j))[0])
+        null = _null_time()
+        t0 = time.perf_counter()
+        _ = np.asarray(msm_call(digits(100 + 31 * i))[0])
+        return time.perf_counter() - t0 - null
 
-    e2e_med, _e2e_iqr, _ = _timed_net(e2e_pass, reps=3)
-    e2e_s = e2e_med / iters
+    e2e_call()  # warm
+    e2e_s = _median([e2e_call() for _ in range(max(3, REPS))])
 
-    roof = roofline(dev_net_s, n_points, null_med)
+    roof = roofline(dev_net_s, n_points, null_med, padds_per_lane=33 if tabled else 40)
     print(
         json.dumps(
             {
                 "msm_device_net_ms": round(dev_net_s * 1e3, 3),
-                "msm_device_net_iqr_ms": round(net_iqr / iters * 1e3, 3),
+                "msm_device_net_iqr_ms": round(net_iqr * 1e3, 3),
                 "msm_e2e_with_host_scalar_prep_ms": round(e2e_s * 1e3, 3),
                 "tunnel_rtt_ms": round(null_med * 1e3, 2),
                 "bench_reps": REPS,
@@ -190,7 +224,7 @@ def bench_msm(n_points: int, iters: int):
     return n_points / dev_net_s, host_pps, dev_net_s, roof
 
 
-def roofline(dev_net_s: float, n_points: int, null_med: float):
+def roofline(dev_net_s: float, n_points: int, null_med: float, padds_per_lane: int = 40):
     """Speed-of-light accounting (BASELINE.json north star: measure the
     MSM against the per-chip roofline, not a Python baseline).
 
@@ -225,37 +259,46 @@ def roofline(dev_net_s: float, n_points: int, null_med: float):
 
     # kernel speed of light: fused complete add at full width, chained.
     # Each sample pairs with an adjacent null dispatch (_timed_net); the
-    # chain depth doubles until the net time clearly exceeds RTT noise.
+    # chain depth doubles until the net time DWARFS the RTT jitter (the
+    # null subtraction itself jitters by +-1-2 ms through the tunnel, so
+    # a 5 ms signal carries +-25% noise — round-3/4's "kernel got slower/
+    # faster" swings were largely this).  25 ms signal => +-<8% noise.
+    # Best-of block {256, 512}: the measured rate is non-monotonic in
+    # width (VMEM pressure above 512, tile underfill below 256) and the
+    # speed of light is the best the kernel can do.
     px0, py0, pz0 = curve.from_affine_host([ec.G])
     P = tuple(jnp.tile(t, (1, L)) for t in (px0, py0, pz0))
 
-    def chain_padd_fn(rep):
+    def chain_padd_fn(rep, block):
         @jax.jit
         def chain_padd(p):
             for _ in range(rep):
-                p = padd_pallas(p, p, block=512)
+                p = padd_pallas(p, p, block=block)
             return p
 
         return chain_padd
 
     t_padd = t_padd_iqr = None
-    REP = 8
-    for _ in range(6):
-        f = chain_padd_fn(REP)
-        med, iqr, _null = _timed_net(lambda: sync(f(P)))
-        if med > 5e-3:  # chain clearly above RTT noise
-            t_padd = med / REP / L  # s per lane-padd
-            t_padd_iqr = iqr / REP / L
-            break
-        REP *= 2
-    # t_padd stays None if even a 256-deep chain is swamped: downstream
+    for block in (256, 512):
+        REP = 32
+        for _ in range(4):
+            f = chain_padd_fn(REP, block)
+            med, iqr, _null = _timed_net(lambda: sync(f(P)))
+            if med > 25e-3:  # chain clearly above RTT noise
+                cand = med / REP / L  # s per lane-padd
+                if t_padd is None or cand < t_padd:
+                    t_padd = cand
+                    t_padd_iqr = iqr / REP / L
+                break
+            REP *= 2
+    # t_padd stays None if even the deepest chain is swamped: downstream
     # kernel-relative metrics are then reported as null, never negative
 
     # VPU peaks: 4 independent accumulator streams, deep enough that the
     # compute time dominates the tunnel RTT (4*256*16*L ops ~ 2-8 ms)
     rng = np.random.default_rng(7)
     a = jnp.asarray(rng.integers(1, 1 << 16, size=(16, L), dtype=np.uint32))
-    DEPTH = 4096  # compute must dwarf RTT jitter (a few ms) to be valid
+    DEPTH = 16384  # compute (~20-30 ms) must dwarf RTT jitter (+-1-2 ms)
     INNER = 32  # unrolled steps per fori iteration (keeps traces small)
 
     # per-step varying constants keep XLA from strength-reducing the
@@ -282,7 +325,7 @@ def roofline(dev_net_s: float, n_points: int, null_med: float):
     def rate(op, ops_per_step):
         f = stream_chain(op)
         net, _iqr, _null = _timed_net(lambda: sync(f(a)))
-        if net < 5e-3:  # swamped by RTT jitter: no valid measurement
+        if net < 15e-3:  # swamped by RTT jitter: no valid measurement
             return None
         return 4 * DEPTH * ops_per_step * n_elem / net
 
@@ -302,7 +345,7 @@ def roofline(dev_net_s: float, n_points: int, null_med: float):
         padd_model = bound_ns * 1e-9
         padd_tile_model = tile_bound_ns * 1e-9
 
-    pipeline_padds = 40 * L
+    pipeline_padds = padds_per_lane * L
     dev_net = max(dev_net_s, 1e-9)
     roofline_util = (  # pipeline vs its own kernel
         pipeline_padds * t_padd / dev_net if t_padd else None

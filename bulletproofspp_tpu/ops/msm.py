@@ -196,6 +196,44 @@ def msm_kernel(px, py, pz, absd, sgn):
     return acc
 
 
+def precompute_flat_table(px, py, pz):
+    """Flat multiple tables for a FIXED basis, to be cached across MSM
+    calls: (144, L), (288, L), (144, L) device arrays (9 x/z entries,
+    18 signed y entries; ~2.3 KB/lane of HBM).
+
+    The basis of a setup never changes (reference: the deterministic
+    getPoints stream, app/Main.hs:68-72 — the engine already caches the
+    packed basis per setup), so its 0P..8P tables are pure
+    precomputation: caching them removes the 7 table-build adds from
+    every subsequent MSM's 40 adds/lane (-17% of the hot path).  Only
+    valid on the Pallas path (L a multiple of 1024)."""
+    from . import pallas_field
+
+    return pallas_field.table_flat_pallas(px, py, pz)
+
+
+@jax.jit
+def msm_tabled_kernel(fx, fy2, fz, absd, sgn):
+    """``msm_kernel`` with the table build hoisted out (see
+    ``precompute_flat_table``): select+reduce, the 8:1 reduce chain, and
+    the fused tail+Horner — 33 complete adds per lane instead of 40."""
+    from . import pallas_field
+
+    rows, L = absd.shape
+    flat = pallas_field.select_reduce_pallas(fx, fy2, fz, absd, sgn)
+    W = L // 8
+    while W > 128:
+        f = min(8, W // 128)
+        flat = pallas_field.reduce_block_pallas(flat, factor=f)
+        W //= f
+    return pallas_field.tail_horner_pallas(flat, rows)
+
+
+def tabled_supported(L: int) -> bool:
+    """The tabled path needs the Pallas kernels and their lane layout."""
+    return curve._pallas_enabled() and L >= 1024 and (L & (L - 1)) == 0 and L % 1024 == 0
+
+
 def fold_mul_kernel(pex, pey, pez, pox, poy, poz, de, se, do, so):
     """Per-lane b*E_i + a*O_i with SHARED digit streams.
 
