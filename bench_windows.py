@@ -68,7 +68,7 @@ def main():
     P = tuple(jnp.tile(t, (1, L)) for t in curve.from_affine_host([ec.G]))
     from bulletproofspp_tpu.ops.pallas_field import padd_pallas
 
-    REP = 8
+    REP = 64  # deep chain: ~40 ms signal dwarfs the +-1-2 ms RTT jitter (r5)
 
     @jax.jit
     def chain(p):

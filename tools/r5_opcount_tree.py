@@ -97,3 +97,40 @@ if __name__ == "__main__":
     report("current (adjacent pairs)", pf._mul_lazy)
     report("stride-8 pairing", _mul_lazy_stride)
     check_exact(_mul_lazy_stride)
+
+
+def _mul_lazy_split8(a, b):
+    """Tile-aligned product formation: split b into 8-limb halves so every
+    partial-product plane is 8 rows (one (8,128) vector-register tile).
+    Planes: lo/hi of a_i * b_half land at offsets i+8*half (+1 for hi);
+    same-offset planes add ALIGNED (8-row ops), the 25 distinct-offset
+    planes then concat into 24-row staircase planes at offsets 0..7
+    (pure copies, no ragged adds) and merge by halving with overlaps only
+    in the last three levels."""
+    b0, b1 = b[:8], b[8:16]
+    # per-offset 8-row accumulation planes, offsets 0..24
+    offs = {}
+
+    def acc(o, p):
+        offs[o] = offs[o] + p if o in offs else p
+
+    for i in range(NLIMB):
+        for half, bh in ((0, b0), (1, b1)):
+            prod = a[i : i + 1, :] * bh  # (8, BL) exact in uint32
+            o = i + 8 * half
+            acc(o, prod & MASK)
+            acc(o + 1, prod >> 16)
+    # concat staircases: (o, o+8), then (o, o+16) -> 24-row planes @0..7,
+    # plus the lone 8-row plane @24
+    p16 = {o: jnp.concatenate([offs[o], offs[o + 8]], axis=0) for o in range(8)}
+    p24 = {o: jnp.concatenate([p16[o], offs[o + 16]], axis=0) for o in range(8)}
+    parts = [(p24[o], o) for o in range(8)] + [(offs[24], 24)]
+    while len(parts) > 1:
+        nxt = [
+            (pf._merge_off(*parts[j], *parts[j + 1]), parts[j][1])
+            for j in range(0, len(parts) - 1, 2)
+        ]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return pf._lazy_fold(pf._lazy_fold(parts[0][0]))
