@@ -751,6 +751,24 @@ def bench_batch_1024():
 
 
 def main():
+    # BENCH_ONLY=serve,batch runs just those sub-benches (each TPU leg
+    # gets its own timeout; a slow earlier bench must not starve a later
+    # one's evidence — the r4/r5 BENCH_FULL timeouts were exactly this)
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        parts = {p.strip() for p in only.split(",") if p.strip()}
+        fns = {"msm": lambda: bench_msm(
+                   int(os.environ.get("BENCH_MSM_POINTS", "32768")),
+                   int(os.environ.get("BENCH_ITERS", "5"))),
+               "proofs": bench_proofs, "mixed": bench_mixed,
+               "serve": bench_serve, "batch": bench_batch_1024}
+        unknown = parts - set(fns)
+        if unknown:
+            raise SystemExit(f"BENCH_ONLY: unknown bench(es) {sorted(unknown)}")
+        for name in ("msm", "proofs", "mixed", "serve", "batch"):
+            if name in parts:
+                fns[name]()
+        return
     n_points = int(os.environ.get("BENCH_MSM_POINTS", "32768"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     pps, host_pps, dev_s, roof = bench_msm(n_points, iters)
