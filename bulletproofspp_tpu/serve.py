@@ -91,10 +91,11 @@ class ProofService:
     ``prove_many`` batch."""
 
     def __init__(self, engine=None, linger_ms: float = 5.0, max_batch: int = 64,
-                 workers: int = 2):
+                 workers: int = 2, max_verify_fuse: int = 16):
         self.engine = engine or default_engine()
         self.linger_ms = linger_ms
         self.max_batch = max_batch
+        self.max_verify_fuse = max_verify_fuse
         self._setups = _SetupCache()
         self._q: queue.Queue = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "proved": 0, "verified": 0, "max_batch": 0}
@@ -150,7 +151,9 @@ class ProofService:
         the prover refuses invalid ones before any dispatch happens.
         For each schema, proves one batch of every size in ``sizes``
         (lockstep shapes compile per power-of-two batch size) and
-        verifies the size-max batch (decompression + zero-check shapes).
+        verifies a batch of every size too — ``_run_verifies`` chunks
+        live traffic to per-signature power-of-two batches, so these
+        are exactly the decompress + zero-check shapes it can emit.
         Warm work bypasses submit() so it never shows up in stats."""
         from .core import range_proof as rpm
         from .core.batch import verify_many_encoded
@@ -176,8 +179,9 @@ class ProofService:
                     encoded = [
                         (setup, *rpm.encode_proof(setup, p)) for p in proofs
                     ]
-            if encoded:
-                verify_many_encoded(encoded, self.engine)
+            for n in sorted(set(sizes)):
+                if n <= len(encoded):
+                    verify_many_encoded(encoded[:n], self.engine)
 
     # -- collector ---------------------------------------------------------
 
@@ -266,18 +270,35 @@ class ProofService:
         return (setup, values, seed)
 
     def _run_verifies(self, verifies):
+        """Verify requests run as merged zero-check MSMs — but grouped by
+        fusion signature and chunked to power-of-two sizes, mirroring
+        ``prove_many``.  A mixed-schema batch of arbitrary size would
+        otherwise hand ``verify_many_encoded`` a decompress/MSM shape
+        that was never warmed, and the first such batch on a TPU backend
+        stalls the pool worker for an XLA compile measured in MINUTES
+        (the r5 TPU serve capture: verify waves timed out behind exactly
+        that).  Per-signature pow2 chunks keep the compiled-shape set to
+        what ``warm`` covers; each chunk is still one merged MSM with
+        its own RLC digest, so soundness is unchanged."""
         from .core.batch import verify_many_encoded
+        from .core.lockstep import _chunks_pow2, fusion_signature
 
-        try:
-            verdicts = verify_many_encoded([p for p, _ in verifies], self.engine)
-        except Exception as e:
-            for _, fut in verifies:
-                fut.set_result({"ok": False, "error": str(e)})
-            return
-        with self._stats_lock:
-            self._stats["verified"] += len(verifies)
-        for (_, fut), valid in zip(verifies, verdicts):
-            fut.set_result({"ok": True, "valid": bool(valid)})
+        groups: dict = {}
+        for i, ((setup, _c, _p), _fut) in enumerate(verifies):
+            groups.setdefault(fusion_signature(setup), []).append(i)
+        for idxs in groups.values():
+            for chunk in _chunks_pow2(idxs, self.max_verify_fuse):
+                sub = [verifies[i] for i in chunk]
+                try:
+                    verdicts = verify_many_encoded([p for p, _ in sub], self.engine)
+                except Exception as e:  # chunk-level failure stays in-chunk
+                    for _, fut in sub:
+                        fut.set_result({"ok": False, "error": str(e)})
+                    continue
+                with self._stats_lock:
+                    self._stats["verified"] += len(sub)
+                for (_, fut), valid in zip(sub, verdicts):
+                    fut.set_result({"ok": True, "valid": bool(valid)})
 
     def _run_proves(self, proves):
         from .core import range_proof as rpm
@@ -365,7 +386,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 pending.put((fut, req_id))
         finally:
             pending.put(None)
-            wt.join(timeout=30)
+            # wait for EVERY queued response to be written: futures always
+            # resolve (batch runners never leave one pending), but a cold
+            # XLA compile can hold a batch for minutes — a bounded join
+            # here silently dropped whole response waves on the first TPU
+            # batch of a new shape (r5 capture).  The writer itself exits
+            # on client disconnect, so this join cannot hang forever.
+            wt.join()
 
 
 class ProofServer(socketserver.ThreadingTCPServer):

@@ -140,6 +140,38 @@ def test_verify_not_blocked_behind_prove_batch():
         svc.close()
 
 
+def test_verify_chunked_by_signature_and_pow2():
+    """A mixed-schema verify wave larger than max_verify_fuse splits into
+    per-signature power-of-two chunks (bounding the device shapes live
+    traffic can compile — the r5 TPU serve stall); verdicts stay per
+    request, a tampered proof localizes within its chunk, and an
+    undecodable one answers False without failing its chunkmates."""
+    from bulletproofspp_tpu.serve import ProofService
+
+    a = [_mk_encoded(100 + i, bytes([i]), SPEC) for i in range(5)]
+    b = [_mk_encoded(200 + i, bytes([64 + i]), SPEC2) for i in range(3)]
+    svc = ProofService(engine=ENGINE, linger_ms=0, max_verify_fuse=2)
+    try:
+        reqs = []
+        for i, (_s, c, p) in enumerate(a):
+            pb = bytearray(p)
+            if i == 3:
+                pb[-1] ^= 1  # tampered: decodes, fails the zero check
+            reqs.append({"op": "verify", "schema": SPEC,
+                         "commits": c.hex(), "proof": bytes(pb).hex()})
+        for i, (_s, c, p) in enumerate(b):
+            reqs.append({"op": "verify", "schema": SPEC2,
+                         "commits": c.hex(),
+                         "proof": (p[:9] if i == 1 else p).hex()})  # 1: undecodable
+        futs = [svc.submit(r) for r in reqs]
+        got = [f.result(timeout=120) for f in futs]
+        assert all(r["ok"] for r in got)
+        assert [r["valid"] for r in got] == [
+            True, True, True, False, True, True, False, True]
+    finally:
+        svc.close()
+
+
 def test_invalid_witness_rejected_without_poisoning_batch():
     """An out-of-range witness answers an error at parse time; batchmates
     prove on the fused path (the rendezvous is never poisoned)."""
