@@ -658,6 +658,10 @@ def bench_serve():
                 "serve_verifies_per_s_iqr": round(_iqr(verify_rates), 2),
                 "serve_mean_batch": round(stats["requests"] / max(1, stats["batches"]), 1),
                 "serve_all_valid": bool(ok),
+                "serve_parse_s": round(stats.get("parse_s", 0.0), 2),
+                "serve_prove_exec_s": round(stats.get("prove_exec_s", 0.0), 2),
+                "serve_verify_exec_s": round(stats.get("verify_exec_s", 0.0), 2),
+                "serve_queue_wait_s": round(stats.get("queue_wait_s", 0.0), 2),
             }
         ),
         file=sys.stderr,

@@ -98,7 +98,12 @@ class ProofService:
         self.max_verify_fuse = max_verify_fuse
         self._setups = _SetupCache()
         self._q: queue.Queue = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "proved": 0, "verified": 0, "max_batch": 0}
+        # *_exec_s are cumulative wall seconds inside the batch runners —
+        # served through the stats op so a production operator (or the
+        # bench) can see where a slow service is actually spending time
+        self._stats = {"requests": 0, "batches": 0, "proved": 0, "verified": 0,
+                       "max_batch": 0, "parse_s": 0.0, "prove_exec_s": 0.0,
+                       "verify_exec_s": 0.0, "queue_wait_s": 0.0}
         self._stats_lock = threading.Lock()
         self._closed = False
         # batches execute on a small pool, not on the collector itself, so
@@ -125,7 +130,7 @@ class ProofService:
             return fut
         with self._stats_lock:
             self._stats["requests"] += 1
-        self._q.put((request, fut))
+        self._q.put((request, fut, _monotonic()))
         # close() may have set _closed and run its final drain between
         # the check above and the put — nothing will read the queue then,
         # so resolve the straggler here rather than hang its connection
@@ -236,21 +241,29 @@ class ProofService:
                     fut.set_result({"ok": False, "error": f"internal error: {e}"})
 
     def _run_batch(self, batch):
+        t0 = _monotonic()
         with self._stats_lock:
             self._stats["batches"] += 1
             self._stats["max_batch"] = max(self._stats["max_batch"], len(batch))
+            self._stats["queue_wait_s"] += sum(t0 - t for _r, _f, t in batch)
         proves, verifies = [], []
-        for req, fut in batch:
+        for req, fut, _t in batch:
             try:
                 parsed = self._parse(req)
             except Exception as e:  # malformed request: answer, don't poison
                 fut.set_result({"ok": False, "error": str(e)})
                 continue
             (proves if req["op"] == "prove" else verifies).append((parsed, fut))
+        t1 = _monotonic()
         if verifies:
             self._run_verifies(verifies)
+        t2 = _monotonic()
         if proves:
             self._run_proves(proves)
+        with self._stats_lock:
+            self._stats["parse_s"] += t1 - t0
+            self._stats["verify_exec_s"] += t2 - t1
+            self._stats["prove_exec_s"] += _monotonic() - t2
 
     def _parse(self, req):
         spec, setup = self._setups.get(req["schema"])
