@@ -506,7 +506,8 @@ def _serve_cmd(args):
     sizes = tuple(int(s) for s in args.warm_sizes.split(",") if s)
 
     with ProofServer(args.host, args.port, linger_ms=args.linger_ms,
-                     max_batch=args.max_batch) as srv:
+                     max_batch=args.max_batch,
+                     max_verify_fuse=args.max_verify_fuse) as srv:
         if warm_pairs:
             print(f"warming {len(warm_pairs)} schema(s) at sizes {sizes}...", flush=True)
             srv.service.warm(warm_pairs, sizes)
@@ -596,6 +597,10 @@ def main(argv=None):
     sv.add_argument("--port", type=int, default=0)
     sv.add_argument("--linger-ms", type=float, default=5.0)
     sv.add_argument("--max-batch", type=int, default=64)
+    sv.add_argument(
+        "--max-verify-fuse", type=int, default=16,
+        help="verify chunk cap (per-signature pow2 chunks bound the set "
+        "of compiled device shapes; must match the warmed sizes)")
     sv.add_argument("--engine", choices=["host", "jax"], default=None)
     sv.add_argument("--warm", action="append", default=[],
                     metavar="SPEC.json=WITNESS.json",

@@ -416,8 +416,11 @@ class ProofServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, engine=None,
-                 linger_ms: float = 5.0, max_batch: int = 64):
-        self.service = ProofService(engine, linger_ms=linger_ms, max_batch=max_batch)
+                 linger_ms: float = 5.0, max_batch: int = 64,
+                 max_verify_fuse: int = 16):
+        self.service = ProofService(engine, linger_ms=linger_ms,
+                                    max_batch=max_batch,
+                                    max_verify_fuse=max_verify_fuse)
         super().__init__((host, port), _Handler)
         self.port = self.server_address[1]
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
