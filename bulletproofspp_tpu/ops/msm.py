@@ -230,8 +230,18 @@ def msm_tabled_kernel(fx, fy2, fz, absd, sgn):
 
 
 def tabled_supported(L: int) -> bool:
-    """The tabled path needs the Pallas kernels and their lane layout."""
-    return curve._pallas_enabled() and L >= 1024 and (L & (L - 1)) == 0 and L % 1024 == 0
+    """The tabled path needs the Pallas kernels and their lane layout —
+    and must stay OUT of the HBM-capacity regime: at >= _SCRATCH_TABLE_MIN_L
+    lanes the (576, L) flat table is the multi-GB footprint the
+    VMEM-scratch kernel variant exists to avoid (msm_kernel's own branch
+    above), so a cached table would OOM exactly where production
+    switches away from it."""
+    return (
+        curve._pallas_enabled()
+        and 1024 <= L < _SCRATCH_TABLE_MIN_L
+        and (L & (L - 1)) == 0
+        and L % 1024 == 0
+    )
 
 
 def fold_mul_kernel(pex, pey, pez, pox, poy, poz, de, se, do, so):

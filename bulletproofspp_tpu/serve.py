@@ -23,7 +23,10 @@ responses per connection are written in request order):
     -> {"ok": true, "valid": true|false}
   {"op": "stats"}
     -> {"ok": true, "requests": N, "batches": N, "proved": N,
-        "verified": N, "max_batch": N}
+        "verified": N, "max_batch": N, "parse_s": S, "prove_exec_s": S,
+        "verify_exec_s": S, "queue_wait_s": S}
+       (the *_s keys are cumulative wall seconds inside the batch
+        runners — where a slow service is actually spending its time)
 
 "schema" is the reference's schema.json object (io_/schema.py); setups
 are cached by canonical schema JSON so repeated schemas pay parsing and
@@ -95,7 +98,12 @@ class ProofService:
         self.engine = engine or default_engine()
         self.linger_ms = linger_ms
         self.max_batch = max_batch
-        self.max_verify_fuse = max_verify_fuse
+        if max_verify_fuse < 1:
+            raise ValueError("max_verify_fuse must be >= 1")
+        # floor to a power of two: _chunks_pow2 only emits pow2 sizes, and
+        # a non-pow2 cap would let a 24-sized chunk through — an unwarmed
+        # device shape, defeating the bounded-compile-set guarantee
+        self.max_verify_fuse = 1 << (max_verify_fuse.bit_length() - 1)
         self._setups = _SetupCache()
         self._q: queue.Queue = queue.Queue()
         # *_exec_s are cumulative wall seconds inside the batch runners —
@@ -213,11 +221,23 @@ class ProofService:
                     except queue.Empty:
                         break
                 if nxt is None:
-                    self._pool.submit(self._run_batch_safe, batch)
+                    self._submit_batch(batch)
                     self._drain_closed()
                     return
                 batch.append(nxt)
+            self._submit_batch(batch)
+
+    def _submit_batch(self, batch):
+        """Hand a batch to the pool; if the pool refuses (shutdown race),
+        resolve the batch's futures instead of stranding them — the
+        writer waits for every response, so a stranded Future wedges its
+        connection."""
+        try:
             self._pool.submit(self._run_batch_safe, batch)
+        except RuntimeError:
+            for item in batch:
+                if not item[1].done():
+                    item[1].set_result({"ok": False, "error": "service closed"})
 
     def _drain_closed(self):
         """Fail any request that raced past the _closed check in submit
@@ -232,13 +252,22 @@ class ProofService:
                 item[1].set_result({"ok": False, "error": "service closed"})
 
     def _run_batch_safe(self, batch):
-        """Pool entry: no exception may escape with Futures unresolved."""
+        """Pool entry: NO path may leave a Future unresolved — the
+        connection writer blocks in fut.result() and, since it waits for
+        every queued response, an unresolved Future would wedge the
+        connection forever.  The finally sweep is the hard guarantee
+        (it also catches partial-batch holes a runner bug might leave,
+        not just exceptions that escape _run_batch)."""
+        err = "internal error"
         try:
             self._run_batch(batch)
         except BaseException as e:  # pragma: no cover - defensive
-            for _, fut in batch:
+            err = f"internal error: {e}"
+        finally:
+            for item in batch:  # items are (request, fut, enqueue_time)
+                fut = item[1]
                 if not fut.done():
-                    fut.set_result({"ok": False, "error": f"internal error: {e}"})
+                    fut.set_result({"ok": False, "error": err})
 
     def _run_batch(self, batch):
         t0 = _monotonic()
@@ -293,25 +322,38 @@ class ProofService:
         that).  Per-signature pow2 chunks keep the compiled-shape set to
         what ``warm`` covers; each chunk is still one merged MSM with
         its own RLC digest, so soundness is unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from .core.batch import verify_many_encoded
         from .core.lockstep import _chunks_pow2, fusion_signature
 
         groups: dict = {}
         for i, ((setup, _c, _p), _fut) in enumerate(verifies):
             groups.setdefault(fusion_signature(setup), []).append(i)
-        for idxs in groups.values():
-            for chunk in _chunks_pow2(idxs, self.max_verify_fuse):
-                sub = [verifies[i] for i in chunk]
-                try:
-                    verdicts = verify_many_encoded([p for p, _ in sub], self.engine)
-                except Exception as e:  # chunk-level failure stays in-chunk
-                    for _, fut in sub:
-                        fut.set_result({"ok": False, "error": str(e)})
-                    continue
-                with self._stats_lock:
-                    self._stats["verified"] += len(sub)
-                for (_, fut), valid in zip(sub, verdicts):
-                    fut.set_result({"ok": True, "valid": bool(valid)})
+        chunks = [c for idxs in groups.values()
+                  for c in _chunks_pow2(idxs, self.max_verify_fuse)]
+
+        def run_chunk(chunk):
+            sub = [verifies[i] for i in chunk]
+            try:
+                verdicts = verify_many_encoded([p for p, _ in sub], self.engine)
+            except Exception as e:  # chunk-level failure stays in-chunk
+                for _, fut in sub:
+                    fut.set_result({"ok": False, "error": str(e)})
+                return
+            with self._stats_lock:
+                self._stats["verified"] += len(sub)
+            for (_, fut), valid in zip(sub, verdicts):
+                fut.set_result({"ok": True, "valid": bool(valid)})
+
+        if len(chunks) == 1:
+            run_chunk(chunks[0])
+        else:
+            # chunks overlap like prove_many's: one chunk's host-side
+            # decode/replay work runs while another's device MSM is in
+            # flight (same max_concurrent=4 ceiling)
+            with ThreadPoolExecutor(max_workers=min(len(chunks), 4)) as ex:
+                list(ex.map(run_chunk, chunks))
 
     def _run_proves(self, proves):
         from .core import range_proof as rpm

@@ -172,6 +172,41 @@ def test_verify_chunked_by_signature_and_pow2():
         svc.close()
 
 
+def test_batch_runner_failure_resolves_every_future():
+    """If a batch runner blows up (or leaves a hole), every Future in the
+    batch still resolves with an error — the connection writer waits for
+    ALL responses, so an unresolved Future would wedge its connection
+    forever.  Regression: the old recovery path unpacked 2-tuples after
+    queue items grew a timestamp, crashing the recovery itself."""
+    from bulletproofspp_tpu.serve import ProofService
+
+    svc = ProofService(engine=ENGINE, linger_ms=0)
+    try:
+        svc._run_batch = lambda batch: (_ for _ in ()).throw(RuntimeError("boom"))
+        fut = svc.submit({"op": "prove", "schema": SPEC, "witness": [{"amount": 7}]})
+        r = fut.result(timeout=30)
+        assert r["ok"] is False and "boom" in r["error"]
+    finally:
+        svc.close()
+
+
+def test_max_verify_fuse_validated():
+    """max_verify_fuse < 1 is rejected (a 0 cap would spin _chunks_pow2
+    forever); a non-pow2 cap floors to a power of two so chunk sizes stay
+    within the warmed shape set."""
+    import pytest
+
+    from bulletproofspp_tpu.serve import ProofService
+
+    with pytest.raises(ValueError):
+        ProofService(engine=ENGINE, max_verify_fuse=0)
+    svc = ProofService(engine=ENGINE, max_verify_fuse=24)
+    try:
+        assert svc.max_verify_fuse == 16
+    finally:
+        svc.close()
+
+
 def test_invalid_witness_rejected_without_poisoning_batch():
     """An out-of-range witness answers an error at parse time; batchmates
     prove on the fused path (the rendezvous is never poisoned)."""
