@@ -133,6 +133,10 @@ def bench_msm(n_points: int, iters: int):
     px, py, pz = _interleave_endo(x, y, z)  # endomorphism on device
     jax.block_until_ready((px, py, pz))
     tabled = tabled_supported(2 * n_points)
+
+    def msm_call_untabled(a):
+        return run_msm(px, py, pz, *a)
+
     if tabled:
         ftab = precompute_flat_table(px, py, pz)
         jax.block_until_ready(ftab)
@@ -141,12 +145,7 @@ def bench_msm(n_points: int, iters: int):
             return msm_tabled_kernel(*ftab, *a)
 
     else:
-
-        def msm_call(a):
-            return run_msm(px, py, pz, *a)
-
-    def msm_call_untabled(a):
-        return run_msm(px, py, pz, *a)
+        msm_call = msm_call_untabled
 
     # scalar GENERATION is excluded from the e2e figure (it is test-input
     # synthesis, not pipeline work); GLV split + digit recode + transfer
@@ -622,17 +621,21 @@ def bench_serve():
         )
 
         def prove_wave(tag, count):
-            per = -(-count // clients)
+            # exactly `count` requests total (the rate divides by count):
+            # client c sends per + 1 extra for the first count % clients
+            per = count // clients
+            extra = count % clients
 
             def one_client(c):
+                mine = per + (1 if c < extra else 0)
                 reqs = [
                     {"op": "prove",
                      "schema": _BENCH64_SPEC if (c + i) % 2 == 0 else spec32,
-                     "witness": [{"amount": 10**6 + c * per + i}],
+                     "witness": [{"amount": 10**6 + c * (per + 1) + i}],
                      "seed": f"{tag}{c}.{i}".encode().hex()}
-                    for i in range(per)
+                    for i in range(mine)
                 ]
-                return request("127.0.0.1", srv.port, reqs)
+                return request("127.0.0.1", srv.port, reqs) if reqs else []
 
             with ThreadPoolExecutor(clients) as ex:
                 return [r for rs in ex.map(one_client, range(clients)) for r in rs]
@@ -643,24 +646,28 @@ def bench_serve():
             t0 = time.perf_counter()
             resps = prove_wave(f"b{w}.", n)
             prove_rates.append(n / (time.perf_counter() - t0))
-            assert len(resps) >= n, (len(resps), n)
+            assert len(resps) == n, (len(resps), n)
             assert all(r["ok"] for r in resps), [r for r in resps if not r["ok"]][:1]
 
-        # verify wave over the proofs just produced (schema alternates in
-        # the same (c + i) % 2 pattern the prove wave used).  Exactly n
-        # requests total: the prove wave may return more than n (clients
-        # each send ceil(n/clients)), and the len(vresps) == n assertion
-        # below would otherwise fail for any n % clients != 0
+        # verify wave over the proofs just produced.  Each proof's schema
+        # is recomputed from the SAME client-major (c + i) % 2 layout the
+        # prove wave generated, so the pairing stays correct for any
+        # n/clients split
+        per_p, extra_p = n // clients, n % clients
+        schemas = [
+            _BENCH64_SPEC if (c + i) % 2 == 0 else spec32
+            for c in range(clients)
+            for i in range(per_p + (1 if c < extra_p else 0))
+        ]
+        ventries = list(zip(schemas, resps))
         per = -(-n // clients)
-        vsrc = resps[:n]
 
         def verify_client(c):
-            mine = vsrc[c * per : (c + 1) * per]
+            mine = ventries[c * per : (c + 1) * per]
             reqs = [
-                {"op": "verify",
-                 "schema": _BENCH64_SPEC if (c + i) % 2 == 0 else spec32,
+                {"op": "verify", "schema": s,
                  "commits": r["commits"], "proof": r["proof"]}
-                for i, r in enumerate(mine)
+                for s, r in mine
             ]
             return request("127.0.0.1", srv.port, reqs) if reqs else []
 

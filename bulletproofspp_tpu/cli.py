@@ -504,6 +504,18 @@ def _serve_cmd(args):
             witness_list = json.load(f)
         warm_pairs.append((schema_obj, witness_list))
     sizes = tuple(int(s) for s in args.warm_sizes.split(",") if s)
+    if args.max_verify_fuse < 1:
+        print("--max-verify-fuse must be >= 1", file=sys.stderr)
+        return 2
+    # the fuse cap must stay within the warmed shape set, or live verify
+    # traffic emits chunk sizes whose device shapes were never compiled
+    # (the exact stall the chunking exists to prevent): extend the warm
+    # sizes with every power of two up to the (floored) cap
+    fuse_pow2 = 1 << (args.max_verify_fuse.bit_length() - 1)
+    if warm_pairs and fuse_pow2 > max(sizes, default=0):
+        sizes = tuple(sorted(set(sizes) | {
+            1 << k for k in range(fuse_pow2.bit_length())
+        }))
 
     with ProofServer(args.host, args.port, linger_ms=args.linger_ms,
                      max_batch=args.max_batch,

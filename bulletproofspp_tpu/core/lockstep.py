@@ -229,6 +229,21 @@ def _chunks_pow2(seq, cap: int):
     return out
 
 
+def run_chunks(chunks, fn, max_concurrent: int = 4):
+    """Run ``fn`` over each chunk, overlapping chunks on up to
+    ``max_concurrent`` threads (one chunk's host-side work runs while
+    another's device dispatch is in flight).  The ONE implementation of
+    the chunk-overlap policy — shared by ``prove_many`` and the proof
+    service's verify path so the two cannot drift."""
+    chunks = list(chunks)
+    if len(chunks) == 1:
+        fn(chunks[0])
+    elif chunks:
+        with ThreadPoolExecutor(max_workers=min(len(chunks), max_concurrent)) as ex:
+            # list() propagates the first chunk failure
+            list(ex.map(fn, chunks))
+
+
 def prove_many(items, engine, max_fuse: int = 16, max_concurrent: int = 4):
     """Prove a MIXED batch: ``items`` is a list of (setup, values, seed)
     triples over arbitrary schemas.  This is the serving entry point
@@ -253,10 +268,5 @@ def prove_many(items, engine, max_fuse: int = 16, max_concurrent: int = 4):
         for i, p in zip(idxs, proofs):
             results[i] = p
 
-    if len(chunks) == 1:
-        run_chunk(chunks[0])
-    else:
-        with ThreadPoolExecutor(max_workers=min(len(chunks), max_concurrent)) as ex:
-            # list() propagates the first chunk failure
-            list(ex.map(run_chunk, chunks))
+    run_chunks(chunks, run_chunk, max_concurrent)
     return results

@@ -322,10 +322,8 @@ class ProofService:
         that).  Per-signature pow2 chunks keep the compiled-shape set to
         what ``warm`` covers; each chunk is still one merged MSM with
         its own RLC digest, so soundness is unchanged."""
-        from concurrent.futures import ThreadPoolExecutor
-
         from .core.batch import verify_many_encoded
-        from .core.lockstep import _chunks_pow2, fusion_signature
+        from .core.lockstep import _chunks_pow2, fusion_signature, run_chunks
 
         groups: dict = {}
         for i, ((setup, _c, _p), _fut) in enumerate(verifies):
@@ -346,14 +344,8 @@ class ProofService:
             for (_, fut), valid in zip(sub, verdicts):
                 fut.set_result({"ok": True, "valid": bool(valid)})
 
-        if len(chunks) == 1:
-            run_chunk(chunks[0])
-        else:
-            # chunks overlap like prove_many's: one chunk's host-side
-            # decode/replay work runs while another's device MSM is in
-            # flight (same max_concurrent=4 ceiling)
-            with ThreadPoolExecutor(max_workers=min(len(chunks), 4)) as ex:
-                list(ex.map(run_chunk, chunks))
+        # chunks overlap exactly as prove_many's do (shared policy)
+        run_chunks(chunks, run_chunk)
 
     def _run_proves(self, proves):
         from .core import range_proof as rpm
